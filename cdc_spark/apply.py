@@ -1,0 +1,252 @@
+"""The foreachBatch body: control-event extraction, epoch schema projection,
+LWW dedup, copy-on-write merge, lineage metrics.
+
+This is the consumer the reference leaves as ``NotImplementedError``
+(``/root/reference/cdc/__main__.py:87-92``), built to the north rule:
+
+1. one control-plane aggregation job extracts per-table (lsn high-watermark,
+   truncate watermark, schema-change list) — the only driver-side collect,
+   and it is O(tables + schema changes), never O(rows);
+2. DML rows are interpreted under the schema epoch their LSN falls in and
+   projected into the batch-final schema (schema-evolution events replayed
+   at the correct LSN, E3);
+3. salted LWW max-LSN reduce per (repo, path) (A2/A3);
+4. copy-on-write merge into the lake with one idempotent commit per
+   (batch, table), keyed by (epoch, lsn_hwm) (E1/E2);
+5. a per-bucket lineage row (applied LSN range, upsert/delete counts, commit
+   latency) appended to a queryable metrics table (C5 — the engine analog of
+   the reference's DogStatsd timings, ``cdc/utils/stats.py:44-65``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import BASE_FIELDS, DML_OPS, EngineConfig
+from .dedup import lww_dedup
+from .lake import LakeTable, bucket_expr, sql_type
+from .parse import BASE_COLUMNS
+
+METRICS_DDL = (
+    "table STRING, batch_id BIGINT, bucket INT, min_lsn BIGINT, max_lsn BIGINT, "
+    "upserts BIGINT, deletes BIGINT, lake_version BIGINT, skipped BOOLEAN, "
+    "commit_latency_s DOUBLE"
+)
+
+
+def evolve_fields(
+    fields: list[tuple[str, str]], change: dict, key: tuple[str, ...]
+) -> list[tuple[str, str]]:
+    """Apply one schema-change event to a field list.
+
+    The reference handles DDL operationally — a fresh snapshot signalled over
+    the control topic (``cdc/snapshots/control_protocol.py:21-54``); the
+    engine upgrades this to in-stream, LSN-ordered evolution. Key columns are
+    immutable (they define row identity)."""
+    action, column = change["action"], change["column"]
+    if column in key:
+        raise ValueError(f"cannot {action} key column {column}")
+    names = [n for n, _ in fields]
+    if action == "add":
+        if column in names:
+            raise ValueError(f"add: column {column} already exists")
+        return fields + [(column, change.get("type", "string"))]
+    if action == "drop":
+        return [f for f in fields if f[0] != column]
+    if action == "retype":
+        return [(n, change["type"] if n == column else t) for n, t in fields]
+    raise ValueError(f"unknown schema change action {action!r}")
+
+
+class CdcApply:
+    def __init__(self, spark: SparkSession, cfg: EngineConfig):
+        self.spark = spark
+        self.cfg = cfg
+        self._lakes: dict[str, LakeTable] = {}
+
+    def lake_for(self, table: str) -> LakeTable:
+        if table not in self._lakes:
+            root = os.path.join(self.cfg.lake_root, table)
+            if LakeTable.exists(root):
+                self._lakes[table] = LakeTable(self.spark, root).refresh()
+            else:
+                self._lakes[table] = LakeTable.create(
+                    self.spark,
+                    root,
+                    fields=list(self.cfg.base_fields),
+                    key=self.cfg.key,
+                    n_buckets=self.cfg.n_buckets,
+                    table=table,
+                )
+        return self._lakes[table]
+
+    # ------------------------------------------------------------ the batch
+    def apply_batch(self, df: DataFrame, batch_id: int) -> list[dict]:
+        """Apply one microbatch of envelope rows. Returns per-table commit
+        info. Safe to re-run with the same batch_id (idempotent)."""
+        t0 = time.time()
+        df = df.persist()
+        try:
+            # control plane: ONE aggregation job, O(tables) result
+            ctrl = (
+                df.groupBy("table")
+                .agg(
+                    F.max("lsn").alias("lsn_hwm"),
+                    F.max(F.when(F.col("op") == "truncate", F.col("lsn"))).alias(
+                        "tr_lsn"
+                    ),
+                    F.sort_array(
+                        F.collect_set(
+                            F.when(
+                                F.col("op") == "schema_change",
+                                F.struct("lsn", "schema_change"),
+                            )
+                        )
+                    ).alias("changes"),
+                )
+                .collect()
+            )
+            results = []
+            for row in ctrl:
+                results.append(self._apply_table(df, batch_id, row, t0))
+            return results
+        finally:
+            df.unpersist()
+
+    def _apply_table(self, df: DataFrame, batch_id: int, ctrl, t0: float) -> dict:
+        table = ctrl["table"]
+        lake = self.lake_for(table)
+        key = lake.key
+
+        # -- schema epochs: ranges of LSN interpreted under each schema
+        # (collect_set dedupes duplicate-delivered control events; A3)
+        changes = sorted(
+            {(c["lsn"], c["schema_change"]) for c in (ctrl["changes"] or [])}
+        )
+        schemas = [dict(s) for s in lake.meta["schemas"]]
+        schema_id = lake.meta["schema_id"]
+        epochs = [(-1, lake.schema_fields(schema_id))]  # (lower_lsn, fields)
+        for c_lsn, c_json in changes:
+            fields = evolve_fields(epochs[-1][1], json.loads(c_json), key)
+            schema_id += 1
+            schemas.append(
+                {"schema_id": schema_id, "fields": [list(f) for f in fields]}
+            )
+            epochs.append((c_lsn, fields))
+        final_fields = epochs[-1][1]
+
+        # -- truncate watermark: rows at or below it are dead (F3)
+        t_new = ctrl["tr_lsn"]
+        t_eff = max(lake.truncate_lsn, t_new if t_new is not None else -1)
+
+        data = df.filter(
+            (F.col("table") == table)
+            & F.col("op").isin(*DML_OPS)
+            & (F.col("lsn") > F.lit(t_eff))
+        )
+
+        # -- epoch projection into the batch-final schema (E3)
+        base = set(BASE_COLUMNS)
+        parts = []
+        for i, (lb, fields) in enumerate(epochs):
+            ub = epochs[i + 1][0] if i + 1 < len(epochs) else None
+            sub = data.filter(F.col("lsn") > F.lit(lb)) if lb >= 0 else data
+            if ub is not None:
+                sub = sub.filter(F.col("lsn") < F.lit(ub))
+            epoch_types = dict(fields)
+            is_del = F.col("op") == "delete"
+            exprs = [F.col(f"`{k}`") for k in key]
+            for name, t_final in final_fields:
+                if name in key:
+                    continue
+                if name not in epoch_types:
+                    e = F.lit(None).cast(sql_type(t_final))
+                else:
+                    raw_sql = (
+                        f"`{name}`" if name in base else f"element_at(extra, '{name}')"
+                    )
+                    t_epoch = epoch_types[name]
+                    # interpret the raw string under the epoch's type, then
+                    # carry it into the batch-final type (retype = try_cast)
+                    e = F.expr(
+                        f"try_cast(try_cast({raw_sql} AS {sql_type(t_epoch)}) "
+                        f"AS {sql_type(t_final)})"
+                    )
+                # tombstones carry no payload
+                exprs.append(F.when(~is_del, e).alias(name))
+            exprs.append(F.col("lsn").alias("_lsn"))
+            exprs.append(is_del.alias("_deleted"))
+            parts.append(sub.select(*exprs))
+        projected = parts[0]
+        for p in parts[1:]:
+            projected = projected.unionByName(p)
+
+        # -- LWW dedup (A2) + merge (E1) under one persist
+        deduped = lww_dedup(
+            projected, key=key, order_col="_lsn", salt=self.cfg.salt
+        ).persist()
+        try:
+            info = lake.merge(
+                deduped,
+                batch_id=batch_id,
+                lsn_hwm=ctrl["lsn_hwm"],
+                new_schemas=schemas if changes else None,
+                new_schema_id=schema_id if changes else None,
+                new_truncate_lsn=t_new,
+            )
+            self._write_metrics(table, batch_id, deduped, info, t0, lake)
+        finally:
+            deduped.unpersist()
+        return info
+
+    # -------------------------------------------------------------- metrics
+    def _write_metrics(
+        self,
+        table: str,
+        batch_id: int,
+        deduped: DataFrame,
+        info: dict,
+        t0: float,
+        lake: LakeTable,
+    ) -> None:
+        path = os.path.join(self.cfg.lake_root, "_metrics")
+        if info.get("skipped"):
+            rows = [(table, batch_id, None, None, None, None, None,
+                     info["version"], True, time.time() - t0)]
+        else:
+            per_bucket = (
+                deduped.groupBy(
+                    bucket_expr(lake.key, lake.n_buckets).alias("bucket")
+                )
+                .agg(
+                    F.min("_lsn").alias("min_lsn"),
+                    F.max("_lsn").alias("max_lsn"),
+                    F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("upserts"),
+                    F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
+                )
+                .collect()
+            )
+            latency = time.time() - t0
+            rows = [
+                (table, batch_id, r["bucket"], r["min_lsn"], r["max_lsn"],
+                 r["upserts"], r["deletes"], info["version"], False, latency)
+                for r in per_bucket
+            ] or [(table, batch_id, None, None, None, 0, 0, info["version"],
+                   False, latency)]
+        self.spark.createDataFrame(rows, METRICS_DDL).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+
+    def metrics(self) -> DataFrame:
+        """Queryable lineage/metrics table. At-least-once appended (a crash
+        between lake commit and metrics write replays as a 'skipped' row),
+        so readers dedupe on (table, batch_id, bucket)."""
+        return (
+            self.spark.read.parquet(os.path.join(self.cfg.lake_root, "_metrics"))
+            .dropDuplicates(["table", "batch_id", "bucket"])
+        )

@@ -1,0 +1,67 @@
+"""Engine configuration.
+
+The reference wires components from jsonschema-validated YAML through a
+registry (``cdc/utils/registry.py:9-14``, ``cdc/__main__.py:24-58``). Spark
+needs far less wiring: one dataclass covering source dir, lake path,
+checkpoint path, and the knobs that matter at scale (bucket count, salt,
+trigger pacing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+#: The fixed envelope of the change-log stream (FIXTURES.md §1). ``extra``
+#: carries values for columns added by schema evolution (wal2json carries
+#: them in its parallel arrays; we pre-split the fixed base columns for the
+#: vectorized fast path).
+ENVELOPE_DDL = (
+    "lsn BIGINT, op STRING, `table` STRING, repo STRING, path STRING, "
+    "`commit` STRING, lang STRING, content STRING, "
+    "extra MAP<STRING,STRING>, schema_change STRING"
+)
+
+#: Base lake schema — exactly the BASELINE input_hint shape.
+BASE_FIELDS: list[tuple[str, str]] = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("content", "string"),
+]
+
+#: Merge key (reference routes per-table; rows are keyed by repo+path).
+KEY_COLUMNS: tuple[str, str] = ("repo", "path")
+
+#: Data-modifying ops (wal2json kinds; reference test_parse_msg.py:18).
+DML_OPS = ("insert", "update", "delete")
+
+#: Supported column types for schema evolution (retype uses try_cast).
+EVOLUTION_TYPES = ("string", "long", "double", "boolean")
+
+
+@dataclass
+class EngineConfig:
+    """Tuning knobs for the apply pipeline.
+
+    n_buckets: key-hash buckets for the lake layout. Copy-on-write merges
+        rewrite only affected buckets, so this bounds write amplification;
+        size it so one bucket's data fits an executor (thousands at 100 TB).
+    salt: extra shuffle-salt fan-out for the LWW reduce. Catalyst's partial
+        aggregation already collapses hot keys map-side for max_by, so 1
+        (off) is the right default; raise for pathological single-key skew.
+    shuffle_partitions: per-merge shuffle width; ~cores locally, ~2-3x total
+        cores on a cluster.
+    """
+
+    lake_root: str = "/tmp/cdc_lake"
+    checkpoint: str = "/tmp/cdc_checkpoint"
+    n_buckets: int = 16
+    salt: int = 1
+    shuffle_partitions: int = 32
+    max_files_per_trigger: int | None = None
+    key: tuple[str, ...] = KEY_COLUMNS
+    base_fields: list[tuple[str, str]] = field(
+        default_factory=lambda: list(BASE_FIELDS)
+    )

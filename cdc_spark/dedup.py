@@ -1,0 +1,61 @@
+"""Last-writer-wins dedup: salted two-phase max-LSN reduce per key.
+
+The engine-side aggregation the north rule demands (SURVEY.md §2.5 A2/A3).
+The reference guarantees strict per-event ordering via sequential ids
+(``/root/reference/cdc/sources/__init__.py:91-92``) and is at-least-once
+(``cdc/producer.py:84-94``), so the apply side must collapse duplicates and
+out-of-order deliveries; keeping only the max-LSN row per (repo, path) does
+both at once (a duplicate has the same LSN and identical payload, so either
+copy winning is the same row).
+
+Physical notes for 100 TB:
+- ``max_by`` aggregates get Catalyst partial aggregation automatically: each
+  map task pre-collapses its rows per key before the shuffle, so a hot repo
+  contributes at most one row per map partition to the exchange — the usual
+  skew defusal for *aggregation*.
+- For pathological skew (one key dominating even post-partial reduce of wide
+  structs), ``salt > 1`` forces an explicit two-phase reduce: phase 1 groups
+  on (key, salt) spreading the hot key over ``salt`` reducers, phase 2
+  reduces the ≤salt survivors per key. Salt is derived from the LSN hash, so
+  replays land on the same salt — deterministic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def lww_dedup(
+    df: DataFrame,
+    key: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "lsn",
+    salt: int = 1,
+) -> DataFrame:
+    """Keep only the max-``order_col`` row per ``key``. Preserves all other
+    columns. Equivalent to Window row_number()==1 but shuffle-light: no sort,
+    partial-aggregated map-side."""
+    payload = [c for c in df.columns if c not in key]
+    agg = F.max_by(F.struct(*payload), F.col(order_col)).alias("_s")
+
+    if salt > 1:
+        salt_col = F.pmod(F.xxhash64(F.col(order_col)), F.lit(salt)).alias("_salt")
+        partial = (
+            df.withColumn("_salt", salt_col)
+            .groupBy(*key, "_salt")
+            .agg(agg)
+            .select(*key, F.col("_s.*"))
+        )
+        df = partial
+    return (
+        df.groupBy(*key)
+        .agg(agg)
+        .select(*key, F.col("_s.*"))
+    )
+
+
+def collapse_duplicate_lsns(df: DataFrame, order_col: str = "lsn") -> DataFrame:
+    """Drop duplicate deliveries of the same LSN (A3). Subsumed by
+    ``lww_dedup`` for keyed DML; needed standalone only for control events
+    where every LSN must be processed exactly once."""
+    return df.dropDuplicates([order_col])

@@ -1,0 +1,401 @@
+"""Iceberg-semantics lake table in pure PySpark (no Iceberg jar available).
+
+The apply side the reference deliberately leaves unimplemented
+(``/root/reference/cdc/__main__.py:87-92``), built per the north rule with
+the commit discipline of the reference's snapshot destination state machine
+(``cdc/snapshots/destinations/__init__.py:56-126``): data files are staged
+first, the manifest is published last by an atomic rename, and a failure at
+any point leaves no visible snapshot (the reference's ``complete.json``
+success marker, ``file_snapshot.py:113-119``).
+
+Layout (one table per directory):
+
+    <root>/metadata/v<N>.json      -- snapshot manifests, atomic rename publish
+    <root>/data/v<N>/_bucket=K/*.parquet
+
+Manifest fields:
+    version, table, key, n_buckets,
+    schema_id, schemas        -- full schema-version history (E3)
+    files                     -- [{path, bucket, schema_id}]  (paths rel. root)
+    truncate_lsn              -- table-truncate watermark (O(1) truncate)
+    last_batch                -- {id, lsn_hwm}: idempotent-commit key (E2);
+                                 commits are keyed by (checkpoint epoch,
+                                 LSN high-watermark) per the north rule
+
+Scale design:
+- Data files are hash-bucketed on the merge key: a copy-on-write merge
+  rewrites ONLY buckets containing batch keys (file pruning via the
+  manifest), so write amplification is bounded by batch key spread, not
+  table size. At 100 TB use thousands of buckets so one bucket ~= one
+  executor's working set.
+- Old-schema files are never rewritten on schema evolution; reads project
+  them into the current schema lazily (add -> null, drop -> pruned at the
+  parquet scan, retype -> try_cast), exactly Iceberg's lazy evolution.
+- Rows are sorted within files by key (``sortWithinPartitions``) so bucket
+  merges are sorted-merge friendly and key ranges cluster for min/max skip.
+- Tombstones: deletes keep a ``_deleted`` row carrying its LSN so later
+  out-of-order (stale) updates for the key still lose the LWW race;
+  ``compact()`` drops tombstones older than a caller-supplied watermark.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_SQL_TYPES = {"string": "STRING", "long": "BIGINT", "double": "DOUBLE",
+              "boolean": "BOOLEAN", "int": "INT", "timestamp": "TIMESTAMP"}
+
+#: engine bookkeeping columns stored in every data file
+META_FIELDS = [("_lsn", "long"), ("_deleted", "boolean")]
+
+
+def sql_type(t: str) -> str:
+    return _SQL_TYPES[t]
+
+
+def bucket_expr(key: tuple[str, ...], n_buckets: int):
+    cols = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in key]
+    return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+def project_to(df: DataFrame, src_fields: list, dst_fields: list) -> DataFrame:
+    """Project a frame carrying ``src_fields`` (+META) into ``dst_fields``:
+    missing columns -> NULL, retypes -> try_cast, drops -> pruned. Column
+    pruning + casts stay in the parquet scan / codegen (no shuffle)."""
+    src = dict(src_fields)
+    exprs = []
+    for name, typ in dst_fields + META_FIELDS:
+        if name in src or name in ("_lsn", "_deleted"):
+            exprs.append(f"try_cast(`{name}` AS {sql_type(typ)}) AS `{name}`")
+        else:
+            exprs.append(f"CAST(NULL AS {sql_type(typ)}) AS `{name}`")
+    return df.selectExpr(*exprs)
+
+
+class LakeTable:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self._meta = self._load_current()
+
+    # ------------------------------------------------------------- metadata
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        fields: list[tuple[str, str]],
+        key: tuple[str, ...] = ("repo", "path"),
+        n_buckets: int = 16,
+        table: str = "repos",
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
+        meta = {
+            "version": 0,
+            "table": table,
+            "key": list(key),
+            "n_buckets": n_buckets,
+            "schema_id": 0,
+            "schemas": [{"schema_id": 0, "fields": [list(f) for f in fields]}],
+            "files": [],
+            "truncate_lsn": -1,
+            "last_batch": {"id": -1, "lsn_hwm": -1},
+            "parent": None,
+            "committed_at": time.time(),
+        }
+        cls._publish(root, meta)
+        return cls(spark, root)
+
+    @classmethod
+    def exists(cls, root: str) -> bool:
+        d = os.path.join(root, "metadata")
+        return os.path.isdir(d) and any(
+            f.startswith("v") and f.endswith(".json") for f in os.listdir(d)
+        )
+
+    @staticmethod
+    def _publish(root: str, meta: dict) -> None:
+        """Atomic manifest publish: stage then rename. No rename -> the
+        snapshot never existed (reference K4 semantics)."""
+        mdir = os.path.join(root, "metadata")
+        final = os.path.join(mdir, f"v{meta['version']}.json")
+        tmp = os.path.join(mdir, f".tmp.v{meta['version']}.json")
+        with open(tmp, "w") as fh:
+            json.dump(meta, fh, indent=1)
+        os.rename(tmp, final)
+
+    def _load_current(self) -> dict:
+        mdir = os.path.join(self.root, "metadata")
+        versions = [
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        ]
+        with open(os.path.join(mdir, f"v{max(versions)}.json")) as fh:
+            return json.load(fh)
+
+    def refresh(self) -> "LakeTable":
+        self._meta = self._load_current()
+        return self
+
+    # ------------------------------------------------------------ accessors
+    @property
+    def meta(self) -> dict:
+        return self._meta
+
+    @property
+    def version(self) -> int:
+        return self._meta["version"]
+
+    @property
+    def key(self) -> tuple[str, ...]:
+        return tuple(self._meta["key"])
+
+    @property
+    def n_buckets(self) -> int:
+        return self._meta["n_buckets"]
+
+    @property
+    def truncate_lsn(self) -> int:
+        return self._meta["truncate_lsn"]
+
+    @property
+    def last_batch(self) -> dict:
+        return self._meta["last_batch"]
+
+    def schema_fields(self, schema_id: int | None = None) -> list[tuple[str, str]]:
+        sid = self._meta["schema_id"] if schema_id is None else schema_id
+        for s in self._meta["schemas"]:
+            if s["schema_id"] == sid:
+                return [tuple(f) for f in s["fields"]]
+        raise KeyError(f"unknown schema_id {sid}")
+
+    # -------------------------------------------------------------- reading
+    def _read_files(
+        self, files: list[dict], target_fields: list[tuple[str, str]]
+    ) -> DataFrame | None:
+        """Read manifest files projected to ``target_fields`` (+META).
+        Files are grouped by schema_id so each group is one pruned,
+        pushdown-friendly parquet scan."""
+        if not files:
+            return None
+        by_sid: dict[int, list[str]] = {}
+        for f in files:
+            by_sid.setdefault(f["schema_id"], []).append(
+                os.path.join(self.root, f["path"])
+            )
+        parts = []
+        for sid, paths in by_sid.items():
+            src_fields = self.schema_fields(sid)
+            df = self.spark.read.parquet(*paths)
+            parts.append(project_to(df, src_fields, target_fields))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read(self, include_meta: bool = False) -> DataFrame:
+        """Current live view: current schema, tombstones and truncated rows
+        filtered out."""
+        fields = self.schema_fields()
+        df = self._read_files(self._meta["files"], fields)
+        if df is None:
+            ddl = ", ".join(
+                f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
+            )
+            df = self.spark.createDataFrame([], ddl)
+        live = df.filter(
+            (~F.col("_deleted")) & (F.col("_lsn") > F.lit(self.truncate_lsn))
+        )
+        if include_meta:
+            return live
+        return live.select(*[f"`{n}`" for n, _ in fields])
+
+    # -------------------------------------------------------------- merging
+    def merge(
+        self,
+        batch_df: DataFrame | None,
+        batch_id: int,
+        lsn_hwm: int,
+        new_schemas: list[dict] | None = None,
+        new_schema_id: int | None = None,
+        new_truncate_lsn: int | None = None,
+        extra_summary: dict | None = None,
+    ) -> dict:
+        """Copy-on-write upsert of a deduped batch + single atomic commit.
+
+        ``batch_df`` must carry the FINAL (post-batch) schema fields + META
+        and at most one row per key (LWW-deduped). ``new_schemas`` /
+        ``new_schema_id`` publish schema evolution that happened inside the
+        batch; ``new_truncate_lsn`` publishes a table truncate. Idempotent:
+        a batch_id at or below the last committed one is skipped wholesale
+        (exactly-once under Spark's replay-on-restart, E2).
+        """
+        cur = self._meta
+        if batch_id <= cur["last_batch"]["id"]:
+            return {"skipped": True, "version": cur["version"], "batch_id": batch_id}
+
+        schemas = new_schemas if new_schemas is not None else cur["schemas"]
+        schema_id = new_schema_id if new_schema_id is not None else cur["schema_id"]
+        final_fields = [
+            tuple(f)
+            for s in schemas
+            if s["schema_id"] == schema_id
+            for f in s["fields"]
+        ]
+        truncate_lsn = (
+            max(cur["truncate_lsn"], new_truncate_lsn)
+            if new_truncate_lsn is not None
+            else cur["truncate_lsn"]
+        )
+        new_version = cur["version"] + 1
+        files: list[dict] = []
+        rewritten, affected = 0, []
+
+        n_rows = 0
+        if batch_df is not None:
+            b = batch_df.withColumn(
+                "_bucket", bucket_expr(self.key, self.n_buckets)
+            )
+            # small driver-side control read: just the distinct bucket ids
+            affected = sorted(
+                r[0] for r in b.select("_bucket").distinct().collect()
+            )
+        if affected:
+            touched = [f for f in cur["files"] if f["bucket"] in affected]
+            untouched = [f for f in cur["files"] if f["bucket"] not in affected]
+            old = self._read_files(touched, final_fields)
+            if old is not None:
+                old = old.withColumn(
+                    "_bucket", bucket_expr(self.key, self.n_buckets)
+                )
+                # rows killed by a truncate can be GC'd while we rewrite
+                old = old.filter(F.col("_lsn") > F.lit(truncate_lsn))
+                merged = old.unionByName(b)
+            else:
+                merged = b
+            key = list(self.key)
+            payload = [c for c in merged.columns if c not in key]
+            # partial aggregation collapses per-key map-side before the
+            # single shuffle; sortWithinPartitions gives key-sorted files
+            merged = (
+                merged.groupBy(*key)
+                .agg(F.max_by(F.struct(*payload), F.col("_lsn")).alias("_s"))
+                .select(*key, F.col("_s.*"))
+                .repartition(max(len(affected), 1), "_bucket")
+                .sortWithinPartitions("_bucket", *key)
+            )
+            data_rel = f"data/v{new_version}"
+            out_dir = os.path.join(self.root, data_rel)
+            (
+                merged.write.partitionBy("_bucket")
+                .mode("overwrite")
+                .parquet(out_dir)
+            )
+            for bdir in sorted(os.listdir(out_dir)):
+                if not bdir.startswith("_bucket="):
+                    continue
+                bucket = int(bdir.split("=")[1])
+                for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                    if part.endswith(".parquet"):
+                        files.append(
+                            {
+                                "path": f"{data_rel}/{bdir}/{part}",
+                                "bucket": bucket,
+                                "schema_id": schema_id,
+                            }
+                        )
+            rewritten = len(files)
+            files.extend(untouched)
+        else:
+            files = list(cur["files"])
+
+        meta = {
+            "version": new_version,
+            "table": cur["table"],
+            "key": cur["key"],
+            "n_buckets": cur["n_buckets"],
+            "schema_id": schema_id,
+            "schemas": schemas,
+            "files": files,
+            "truncate_lsn": truncate_lsn,
+            "last_batch": {"id": batch_id, "lsn_hwm": max(lsn_hwm, cur["last_batch"]["lsn_hwm"])},
+            "parent": cur["version"],
+            "committed_at": time.time(),
+        }
+        if extra_summary:
+            meta["summary"] = extra_summary
+        self._publish(self.root, meta)
+        self._meta = meta
+        return {
+            "skipped": False,
+            "version": new_version,
+            "batch_id": batch_id,
+            "affected_buckets": affected,
+            "files_written": rewritten,
+        }
+
+    # ----------------------------------------------------------- compaction
+    def compact(self, tombstone_watermark_lsn: int | None = None) -> dict:
+        """Rewrite all buckets dropping truncated rows and tombstones whose
+        LSN is below ``tombstone_watermark_lsn`` (only safe once the source
+        guarantees no event older than that watermark can still arrive —
+        the engine analog of advancing the reference's replication slot via
+        ``send_feedback``, ``postgres_logical.py:186-198``)."""
+        cur = self._meta
+        fields = self.schema_fields()
+        df = self._read_files(cur["files"], fields)
+        if df is None:
+            return {"version": cur["version"], "compacted": 0}
+        df = df.filter(F.col("_lsn") > F.lit(cur["truncate_lsn"]))
+        if tombstone_watermark_lsn is not None:
+            df = df.filter(
+                (~F.col("_deleted")) | (F.col("_lsn") > F.lit(tombstone_watermark_lsn))
+            )
+        df = df.withColumn("_bucket", bucket_expr(self.key, self.n_buckets))
+        new_version = cur["version"] + 1
+        data_rel = f"data/v{new_version}"
+        out_dir = os.path.join(self.root, data_rel)
+        (
+            df.repartition(self.n_buckets, "_bucket")
+            .sortWithinPartitions("_bucket", *self.key)
+            .write.partitionBy("_bucket")
+            .mode("overwrite")
+            .parquet(out_dir)
+        )
+        files = []
+        for bdir in sorted(os.listdir(out_dir)):
+            if not bdir.startswith("_bucket="):
+                continue
+            bucket = int(bdir.split("=")[1])
+            for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
+                if part.endswith(".parquet"):
+                    files.append(
+                        {"path": f"{data_rel}/{bdir}/{part}", "bucket": bucket,
+                         "schema_id": cur["schema_id"]}
+                    )
+        meta = dict(cur)
+        meta.update(
+            version=new_version, files=files, parent=cur["version"],
+            committed_at=time.time(),
+        )
+        self._publish(self.root, meta)
+        self._meta = meta
+        return {"version": new_version, "compacted": len(files)}
+
+    def snapshot_log(self) -> list[dict]:
+        """All manifests oldest-first (time travel / lineage audit)."""
+        mdir = os.path.join(self.root, "metadata")
+        out = []
+        for f in sorted(
+            (f for f in os.listdir(mdir) if f.startswith("v") and f.endswith(".json")),
+            key=lambda f: int(f[1:-5]),
+        ):
+            with open(os.path.join(mdir, f)) as fh:
+                out.append(json.load(fh))
+        return out

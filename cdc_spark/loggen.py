@@ -1,0 +1,237 @@
+"""Deterministic synthetic change-log generator (Spark-native, seeded).
+
+Produces the engine's WAL-tail input: a wal2json-style change log of
+source-code repository rows (FIXTURES.md §1), mirroring the reference's
+event taxonomy (``/root/reference/cdc/sources/types.py:47-71``) and wal2json
+kinds (``/root/reference/tests/cdc/sources/backends/test_parse_msg.py:18``).
+
+Everything is derived from ``spark.range`` + hash expressions — no driver-side
+row materialization, no wall-clock, no RNG state — so the same parameters
+always produce the same log at any scale (the nominal 10^10-event log is the
+same code with a bigger ``n_events``; rate-generate per batch, never collect).
+
+Knobs (FIXTURES.md §1): n_events, n_repos, n_paths, zipf skew, dup_rate
+(duplicate-delivery injection), shuffle_window (out-of-order injection),
+delete_rate, truncate_lsns, schema_changes, seed.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ENVELOPE_DDL
+
+LANGS = ("py", "js", "go", "rs", "md")
+
+
+def _u(col, seed: int, salt: int):
+    """Deterministic uniform [0,1) from a long column (xxhash64-based)."""
+    return (F.pmod(F.xxhash64(col, F.lit(seed), F.lit(salt)), F.lit(1 << 30))) / float(
+        1 << 30
+    )
+
+
+def _h(col, seed: int, salt: int):
+    """Deterministic non-negative long from a long column."""
+    return F.pmod(F.xxhash64(col, F.lit(seed), F.lit(salt)), F.lit(1 << 62))
+
+
+def change_log(
+    spark: SparkSession,
+    n_events: int,
+    *,
+    n_repos: int = 100,
+    n_paths: int = 50,
+    zipf: float = 2.0,
+    delete_rate: float = 0.08,
+    dup_rate: float = 0.0,
+    truncate_lsns: tuple[int, ...] = (),
+    schema_changes: dict[int, dict] | None = None,
+    table: str = "repos",
+    start_lsn: int = 1,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the change-log DataFrame with envelope ``ENVELOPE_DDL``.
+
+    LSNs are ``start_lsn .. start_lsn+n_events-1``; LSNs listed in
+    ``truncate_lsns`` / ``schema_changes`` become control events, the rest are
+    DML. ``schema_changes`` maps lsn -> {"action": "add"|"drop"|"retype",
+    "column": name, "type": t}. ``dup_rate`` re-emits a fraction of rows with
+    identical (lsn, payload) — the reference's at-least-once delivery
+    (``cdc/producer.py:84-94``) makes such duplicates a required input class.
+
+    Zipf-like hot-repo skew: repo index = floor(n_repos * u^zipf) concentrates
+    mass near repo 0 for zipf > 1, exercising the salted dedup path.
+    """
+    schema_changes = schema_changes or {}
+    control_lsns = set(truncate_lsns) | set(schema_changes)
+
+    df = spark.range(start_lsn, start_lsn + n_events).withColumnRenamed("id", "lsn")
+
+    lsn = F.col("lsn")
+    u_repo = _u(lsn, seed, 1)
+    repo_idx = F.floor(F.lit(float(n_repos)) * F.pow(u_repo, F.lit(float(zipf))))
+    path_idx = F.pmod(_h(lsn, seed, 2), F.lit(n_paths))
+    u_op = _u(lsn, seed, 3)
+    commit_hex = F.lower(F.lpad(F.hex(_h(lsn, seed, 4)), 16, "0"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]), (F.pmod(_h(lsn, seed, 5), F.lit(len(LANGS))) + 1).cast("int")
+    )
+    # variable-length deterministic body; sha256(content) is the invariant
+    body_rep = (F.pmod(_h(lsn, seed, 6), F.lit(8)) + 1).cast("int")
+    repo_s = F.concat(F.lit("repo-"), repo_idx.cast("string"))
+    path_s = F.concat(
+        F.lit("src/"), path_idx.cast("string"), F.lit("/file_"),
+        F.pmod(_h(lsn, seed, 7), F.lit(7)).cast("string"), F.lit(".txt"),
+    )
+    content = F.concat(
+        repo_s, F.lit(":"), path_s, F.lit("@"), commit_hex, F.lit("::"),
+        F.repeat(F.substring(commit_hex, 1, 8), body_rep),
+    )
+
+    op = (
+        F.when(u_op < F.lit(delete_rate), F.lit("delete"))
+        .when(u_op < F.lit(delete_rate + 0.3), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+
+    # values for columns added by schema evolution (arrive via `extra`)
+    extra_entries = []
+    for c_lsn, ch in sorted(schema_changes.items()):
+        if ch["action"] != "add":
+            continue
+        cname, ctype = ch["column"], ch.get("type", "string")
+        if ctype in ("long", "double"):
+            val = F.pmod(_h(lsn, seed, 100 + c_lsn), F.lit(100000)).cast("string")
+        elif ctype == "boolean":
+            val = (F.pmod(_h(lsn, seed, 100 + c_lsn), F.lit(2)) == 0).cast("string")
+        else:
+            val = F.concat(F.lit(cname + "-"), F.pmod(_h(lsn, seed, 100 + c_lsn), F.lit(1000)).cast("string"))
+        extra_entries.append((cname, F.when(lsn > F.lit(c_lsn), val)))
+    if extra_entries:
+        pairs = []
+        for name, val in extra_entries:
+            pairs.extend([F.lit(name), val])
+        extra = F.map_filter(F.map_from_arrays(
+            F.array(*pairs[0::2]), F.array(*pairs[1::2])
+        ), lambda _, v: v.isNotNull())
+    else:
+        extra = F.lit(None).cast("map<string,string>")
+
+    dml = df.select(
+        lsn,
+        op.alias("op"),
+        F.lit(table).alias("table"),
+        repo_s.alias("repo"),
+        path_s.alias("path"),
+        commit_hex.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+        extra.alias("extra"),
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    if control_lsns:
+        dml = dml.filter(~lsn.isin(list(control_lsns)))
+
+    out = dml
+    if control_lsns:
+        rows = []
+        for t in truncate_lsns:
+            rows.append((t, "truncate", table, None, None, None, None, None, None, None))
+        for s_lsn, ch in schema_changes.items():
+            rows.append(
+                (s_lsn, "schema_change", table, None, None, None, None, None, None, json.dumps(ch))
+            )
+        ctrl = spark.createDataFrame(rows, ENVELOPE_DDL)
+        out = out.unionByName(ctrl)
+
+    if dup_rate > 0:
+        dups = out.filter(_u(F.col("lsn"), seed, 9) < F.lit(dup_rate))
+        out = out.unionByName(dups)
+    return out
+
+
+def write_segments(
+    df: DataFrame,
+    path: str,
+    *,
+    seg_size: int = 1000,
+    shuffle_window: int = 0,
+    seed: int = 42,
+) -> int:
+    """Write the log as ordered parquet WAL segments (``seg=K/`` dirs).
+
+    ``shuffle_window`` > 0 jitters the segment assignment by up to that many
+    LSNs, producing overlapping per-segment LSN ranges — the out-of-order
+    delivery the engine must tolerate (the reference never reorders, but the
+    engine's LWW reduce + per-key LSN guard make order irrelevant).
+    Returns the number of segments written.
+    """
+    lsn = F.col("lsn")
+    jitter = (
+        F.pmod(_h(lsn, seed, 11), F.lit(2 * shuffle_window + 1)) - F.lit(shuffle_window)
+        if shuffle_window > 0
+        else F.lit(0)
+    )
+    seg = F.greatest(F.floor((lsn + jitter) / F.lit(seg_size)), F.lit(0))
+    (
+        df.withColumn("seg", seg)
+        .repartition(F.col("seg"))
+        .sortWithinPartitions("lsn")
+        .write.partitionBy("seg")
+        .mode("overwrite")
+        .parquet(path)
+    )
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(path, "seg=*")))
+
+
+def to_frames(df: DataFrame) -> DataFrame:
+    """Encode envelope rows as the reference's framed wire format.
+
+    ``M|<escaped table>|<wal2json JSON>`` for DML (escaping ``\\`` -> ``\\\\``
+    and ``|`` -> ``\\|`` exactly as the reference's parser expects,
+    ``postgres_logical.py:45-68``), ``B|``/``C|`` for transaction brackets,
+    ``G|`` generic for control events. Returns (lsn, value) rows; the LSN
+    rides outside the payload like wal_msg.data_start does in the reference
+    (``postgres_logical.py:176-181``).
+    """
+    esc_table = F.regexp_replace(
+        F.regexp_replace(F.col("table"), r"\\", r"\\\\"), r"\|", r"\\|"
+    )
+    base_names = F.array(*[F.lit(c) for c in ("repo", "path", "commit", "lang", "content")])
+    base_vals = F.array(*[F.col(c) for c in ("repo", "path", "commit", "lang", "content")])
+    extra_names = F.map_keys(F.coalesce(F.col("extra"), F.expr("map()")))
+    extra_vals = F.map_values(F.coalesce(F.col("extra"), F.expr("map()")))
+    wal2json = F.to_json(
+        F.struct(
+            F.lit("change").alias("event"),
+            F.col("op").alias("kind"),
+            F.lit("public").alias("schema"),
+            F.col("table").alias("table"),
+            F.concat(base_names, extra_names).alias("columnnames"),
+            F.concat(base_vals, extra_vals).alias("columnvalues"),
+        )
+    )
+    generic = F.to_json(
+        F.struct(
+            F.col("op").alias("event"),
+            F.col("table").alias("table"),
+            F.col("schema_change").alias("schema_change"),
+        )
+    )
+    value = (
+        F.when(F.col("op") == "begin", F.concat(F.lit("B|"), generic))
+        .when(F.col("op") == "commit", F.concat(F.lit("C|"), generic))
+        .when(
+            F.col("op").isin("insert", "update", "delete"),
+            F.concat(F.lit("M|"), esc_table, F.lit("|"), wal2json),
+        )
+        .otherwise(F.concat(F.lit("G|"), generic))
+    )
+    return df.select("lsn", value.alias("value"))
