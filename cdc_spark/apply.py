@@ -181,6 +181,15 @@ class CdcApply:
                 exprs.append(F.when(~is_del, e).alias(name))
             exprs.append(F.col("lsn").alias("_lsn"))
             exprs.append(is_del.alias("_deleted"))
+            # payload residue not consumed by the final schema: kept so a
+            # late-delivered add-column can resurrect values (see lake.py
+            # META_FIELDS)
+            consumed = [n for n, _ in final_fields]
+            leftover = F.map_filter(
+                F.coalesce(F.col("extra"), F.expr("map()")),
+                lambda k, _: ~k.isin(*consumed),
+            )
+            exprs.append(F.when(~is_del, leftover).alias("_extra"))
             parts.append(sub.select(*exprs))
         projected = parts[0]
         for p in parts[1:]:

@@ -48,10 +48,18 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _SQL_TYPES = {"string": "STRING", "long": "BIGINT", "double": "DOUBLE",
-              "boolean": "BOOLEAN", "int": "INT", "timestamp": "TIMESTAMP"}
+              "boolean": "BOOLEAN", "int": "INT", "timestamp": "TIMESTAMP",
+              "map<string,string>": "MAP<STRING,STRING>"}
 
-#: engine bookkeeping columns stored in every data file
-META_FIELDS = [("_lsn", "long"), ("_deleted", "boolean")]
+#: engine bookkeeping columns stored in every data file. ``_extra`` keeps the
+#: wal2json payload entries not consumed by the schema in force when the row
+#: was applied, so a late-delivered add-column (control event arriving in a
+#: later batch than data that post-dates it) can still resurrect the values —
+#: without it the engine would silently drop them where the LSN-ordered
+#: oracle keeps them.
+META_FIELDS = [("_lsn", "long"), ("_deleted", "boolean"),
+               ("_extra", "map<string,string>")]
+_META_NAMES = {n for n, _ in META_FIELDS}
 
 
 def sql_type(t: str) -> str:
@@ -70,10 +78,15 @@ def project_to(df: DataFrame, src_fields: list, dst_fields: list) -> DataFrame:
     src = dict(src_fields)
     exprs = []
     for name, typ in dst_fields + META_FIELDS:
-        if name in src or name in ("_lsn", "_deleted"):
+        if name in src or name in _META_NAMES:
             exprs.append(f"try_cast(`{name}` AS {sql_type(typ)}) AS `{name}`")
         else:
-            exprs.append(f"CAST(NULL AS {sql_type(typ)}) AS `{name}`")
+            # column added after this file was written: resurrect the value
+            # from the row's unconsumed payload residue if it carried one
+            exprs.append(
+                f"try_cast(element_at(`_extra`, '{name}') AS {sql_type(typ)}) "
+                f"AS `{name}`"
+            )
     return df.selectExpr(*exprs)
 
 
