@@ -1,0 +1,13 @@
+"""Training-data pipeline operators (dedup, text analysis, similarity,
+multimodal plumbing) — first-class components alongside the CDC engine."""
+
+from __future__ import annotations
+
+
+def registry() -> dict:
+    from . import dedupe, multimodal, similarity, text
+
+    out: dict = {}
+    for mod in (text, dedupe, similarity, multimodal):
+        out.update(mod.registry())
+    return out

@@ -1,0 +1,253 @@
+"""Deduplication for training-data pipelines: exact, MinHash+LSH, SimHash,
+n-gram Jaccard. Spark-first: shingling/hashing via higher-order array
+functions (codegen, no Python), candidate generation via hash-bucket
+equi-joins — the shapes that survive 100 TB (shuffle on band buckets, never
+an O(n^2) cross join)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._portable import (
+    MOD,
+    duck_poly_hash,
+    duck_shingles,
+    mh_params,
+    spark_poly_hash,
+    spark_shingles,
+)
+
+K_MINHASH = 16
+BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 16
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ------------------------------------------------------------------ exact
+def q_exact_dedup(spark, sf_dir):
+    """Exact dedup by content hash: canonical doc per text + duplicate count.
+    At scale this is one hash-partitioned groupBy (partial-aggregated)."""
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy(F.md5(F.col("text")).alias("text_md5"))
+        .agg(F.min("doc_id").alias("canonical_doc"), F.count("*").alias("n_copies"))
+        .orderBy("text_md5")
+    )
+
+
+SQL_EXACT = """
+SELECT md5(text) AS text_md5, min(doc_id) AS canonical_doc, count(*) AS n_copies
+FROM documents GROUP BY 1 ORDER BY 1
+"""
+
+
+# ----------------------------------------------------------------- minhash
+def _spark_shingle_hashes(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id", F.explode(F.expr(spark_shingles("text"))).alias("sh")
+    )
+    return sh.select("doc_id", F.expr(spark_poly_hash("sh")).alias("h"))
+
+
+_DUCK_SHINGLE_HASHES = f"""
+sh AS (SELECT doc_id, unnest({duck_shingles('text')}) AS sh FROM documents),
+hs AS (SELECT doc_id, {duck_poly_hash('sh')} AS h FROM sh)
+"""
+
+
+def q_minhash_signature(spark, sf_dir):
+    """MinHash signatures (k={K_MINHASH}): shingle -> polynomial hash -> k
+    affine permutations -> per-doc min. One explode + one groupBy; the
+    explode fan-out is bounded by document length and the groupBy partial-
+    aggregates map-side."""
+    h = _spark_shingle_hashes(spark, sf_dir)
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(mh_params(K_MINHASH))
+    ]
+    return h.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
+
+
+def sql_minhash_signature() -> str:
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_params(K_MINHASH))
+    )
+    return f"WITH {_DUCK_SHINGLE_HASHES} SELECT doc_id, {mins} FROM hs GROUP BY doc_id ORDER BY doc_id"
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    """MinHash LSH candidate pairs: band the signature ({BANDS} bands x
+    {K_MINHASH // BANDS} rows), bucket-join docs sharing a band value.
+    The join key is the band fingerprint — shuffle is by bucket, so cost
+    scales with collisions, not with n^2."""
+    sig = q_minhash_signature(spark, sf_dir)
+    rows_per_band = K_MINHASH // BANDS
+    bands = []
+    for bidx in range(BANDS):
+        cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
+        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+        bands.append(
+            sig.select("doc_id", F.lit(bidx).alias("band"), key.alias("bkey"))
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(b, ["band", "bkey"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def sql_minhash_lsh_pairs() -> str:
+    rows_per_band = K_MINHASH // BANDS
+    band_selects = []
+    for bidx in range(BANDS):
+        cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
+        key = " || ',' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc_id, {bidx} AS band, {key} AS bkey FROM sig"
+        )
+    banded = " UNION ALL ".join(band_selects)
+    mins = ", ".join(
+        f"min(({a} * h + {b}) % {MOD}) AS mh{i}"
+        for i, (a, b) in enumerate(mh_params(K_MINHASH))
+    )
+    return f"""
+WITH {_DUCK_SHINGLE_HASHES},
+sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
+banded AS ({banded})
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+WHERE a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+# ----------------------------------------------------------------- simhash
+def q_simhash(spark, sf_dir):
+    """SimHash ({SIMHASH_BITS}-bit): token hash bit votes summed per doc,
+    sign -> bit. Explode + one groupBy with {SIMHASH_BITS} sums (partial agg);
+    near-dup candidates are same-bucket simhash values."""
+    d = _docs(spark, sf_dir)
+    tok = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
+    ).filter(F.length("t") > 0)
+    h = tok.select("doc_id", F.expr(spark_poly_hash("t")).alias("h"))
+    votes = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
+            f"v{b}"
+        )
+        for b in range(SIMHASH_BITS)
+    ]
+    agg = h.groupBy("doc_id").agg(*votes)
+    sim = sum(
+        [
+            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+            for b in range(SIMHASH_BITS)
+        ],
+        F.lit(0),
+    )
+    return agg.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+
+
+def sql_simhash() -> str:
+    votes = ", ".join(
+        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+    )
+    return rf"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
+  FROM documents),
+toknz AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
+hs AS (SELECT doc_id, {duck_poly_hash('t')} AS h FROM toknz),
+v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
+SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v ORDER BY doc_id
+"""
+
+
+# ---------------------------------------------------------- n-gram jaccard
+JACCARD_THRESHOLD = 0.2
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    """n-gram Jaccard near-dup pairs, blocked by source (never all-pairs):
+    explode distinct shingles, self-join on (source, shingle) to count the
+    intersection, join per-doc set sizes, filter by threshold."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        "source",
+        F.explode(F.expr(spark_shingles("text"))).alias("sh"),
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, ["source", "sh"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
+    jac = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("inter") / (F.col("sza") + F.col("szb") - F.col("inter")), 4
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("doc_a", "doc_b")
+    )
+    return jac
+
+
+def sql_ngram_jaccard_pairs() -> str:
+    return f"""
+WITH sh AS (
+  SELECT doc_id, source, unnest({duck_shingles('text')}) AS sh FROM documents),
+sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.source = b.source AND a.sh = b.sh
+  WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT doc_a, doc_b,
+       round(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE round(inter / (sa.sz + sb.sz - inter), 4) >= {JACCARD_THRESHOLD}
+ORDER BY doc_a, doc_b
+"""
+
+
+def registry() -> dict:
+    return {
+        "exact_dedup": (q_exact_dedup, SQL_EXACT),
+        "minhash_signature": (q_minhash_signature, sql_minhash_signature()),
+        "minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
+        "simhash": (q_simhash, sql_simhash()),
+        "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs()),
+    }

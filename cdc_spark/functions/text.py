@@ -1,0 +1,169 @@
+"""Text analysis for training-data pipelines: language-ID heuristic, quality
+scoring, token counting, document fingerprinting. All built-in column
+expressions (whole-stage codegen), each with a DuckDB oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+_STOPWORDS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "que"),
+    "fr": ("le", "et", "les"),
+    "de": ("der", "und", "die"),
+}
+
+
+def _padded(col):
+    return F.concat(F.lit(" "), F.lower(col), F.lit(" "))
+
+
+def _hits(col, word: str):
+    """Occurrences of ' word ' via the length-difference trick (portable)."""
+    needle = f" {word} "
+    return (
+        (F.length(col) - F.length(F.regexp_replace(col, needle, " ")))
+        / (len(needle) - 1)
+    ).cast("long")
+
+
+def _sql_hits(expr: str, word: str) -> str:
+    needle = f" {word} "
+    return (
+        f"CAST((length({expr}) - length(replace({expr}, '{needle}', ' '))) "
+        f"/ {len(needle) - 1} AS BIGINT)"
+    )
+
+
+def q_lang_id(spark, sf_dir):
+    """n-gram/stopword language-ID heuristic: per-language stopword hit
+    counts, argmax with deterministic tie-break (language name order)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _padded(F.col("text"))
+    scores = {
+        lang: sum([_hits(p, w) for w in words], F.lit(0).cast("long"))
+        for lang, words in _STOPWORDS.items()
+    }
+    langs = sorted(_STOPWORDS)
+    guess = F.lit("unknown")
+    # reversed so earlier languages win ties
+    best = F.greatest(*[scores[lg] for lg in langs])
+    for lg in reversed(langs):
+        guess = F.when((scores[lg] == best) & (best > 0), F.lit(lg)).otherwise(guess)
+    out = d.select(
+        "doc_id",
+        *[scores[lg].alias(f"s_{lg}") for lg in langs],
+        guess.alias("lang_guess"),
+    )
+    return out.orderBy("doc_id")
+
+
+def sql_lang_id() -> str:
+    langs = sorted(_STOPWORDS)
+    p = "(' ' || lower(text) || ' ')"
+    score_exprs = {
+        lg: " + ".join(_sql_hits(p, w) for w in _STOPWORDS[lg]) for lg in langs
+    }
+    selects = ", ".join(f"({score_exprs[lg]}) AS s_{lg}" for lg in langs)
+    best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    guess = "CASE "
+    for lg in langs:
+        guess += f"WHEN s_{lg} = {best} AND {best} > 0 THEN '{lg}' "
+    guess += "ELSE 'unknown' END"
+    return f"""
+WITH s AS (SELECT doc_id, {selects} FROM documents)
+SELECT doc_id, {', '.join('s_' + lg for lg in langs)}, {guess} AS lang_guess
+FROM s ORDER BY doc_id
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Whitespace + BPE-ish token counting (word pieces of <=4 chars)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    # BPE-ish proxy: ceil(word_len / 4) summed = chars_without_spaces/4 rounded up per word
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    return d.select(
+        "doc_id",
+        toks.cast("long").alias("n_tokens"),
+        chars.cast("long").alias("n_chars_nospace"),
+        F.ceil(chars / F.lit(4.0)).cast("long").alias("n_bpe_est"),
+    ).orderBy("doc_id")
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_nospace,
+       CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_quality_score(spark, sf_dir):
+    """Quality scoring: length / stopword-ratio / mean-token-length signals
+    combined into a [0,1] score (rounded for cross-engine hash equality)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = _padded(F.col("text"))
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    stops = sum(
+        [_hits(p, w) for ws in _STOPWORDS.values() for w in ws],
+        F.lit(0).cast("long"),
+    ).cast("double")
+    chars = F.length(F.regexp_replace(F.col("text"), r"\s+", "")).cast("double")
+    mean_tok = chars / toks
+    score = (
+        F.least(toks / F.lit(100.0), F.lit(1.0)) * 0.4
+        + F.least(stops / toks * 5.0, F.lit(1.0)) * 0.3
+        + F.when((mean_tok >= 3) & (mean_tok <= 8), 0.3).otherwise(0.0)
+    )
+    return d.select(
+        "doc_id",
+        F.round(score, 4).alias("quality"),
+        F.round(mean_tok, 4).alias("mean_token_len"),
+    ).orderBy("doc_id")
+
+
+def sql_quality_score() -> str:
+    p = "(' ' || lower(text) || ' ')"
+    stop_sum = " + ".join(
+        _sql_hits(p, w) for ws in _STOPWORDS.values() for w in ws
+    )
+    return rf"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS toks,
+         CAST({stop_sum} AS DOUBLE) AS stops,
+         CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE) AS chars
+  FROM documents)
+SELECT doc_id,
+       round(least(toks / 100.0, 1.0) * 0.4
+             + least(stops / toks * 5.0, 1.0) * 0.3
+             + CASE WHEN chars / toks >= 3 AND chars / toks <= 8 THEN 0.3 ELSE 0.0 END,
+             4) AS quality,
+       round(chars / toks, 4) AS mean_token_len
+FROM s ORDER BY doc_id
+"""
+
+
+def q_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of whitespace-normalized lowercase text
+    (rolling-hash fingerprinting's portable stand-in)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return d.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy("doc_id")
+
+
+SQL_FINGERPRINT = r"""
+SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+FROM documents ORDER BY doc_id
+"""
+
+
+def registry() -> dict:
+    return {
+        "lang_id": (q_lang_id, sql_lang_id()),
+        "token_count": (q_token_count, SQL_TOKEN_COUNT),
+        "quality_score": (q_quality_score, sql_quality_score()),
+        "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    }
