@@ -87,9 +87,15 @@ def decode_wal2json(split: DataFrame) -> DataFrame:
     g = F.from_json(F.col("body"), GENERIC_DDL)
     cols = F.map_from_arrays(w["columnnames"], w["columnvalues"])
     is_change = F.col("frame_op") == "change"
+    # generic frames re-hydrate only KNOWN control ops; anything else stays
+    # 'generic' (reference: unrecognized payloads -> GenericMessage)
+    known_ctrl = g["event"].isin("truncate", "schema_change", "begin", "commit")
     op = (
         F.when(is_change, w["kind"])
-        .when(F.col("frame_op") == "generic", F.coalesce(g["event"], F.lit("generic")))
+        .when(
+            F.col("frame_op") == "generic",
+            F.when(known_ctrl, g["event"]).otherwise(F.lit("generic")),
+        )
         .otherwise(F.col("frame_op"))
     )
     base = [
