@@ -200,6 +200,24 @@ class CdcApply:
             projected, key=key, order_col="_lsn", salt=self.cfg.salt
         ).persist()
         try:
+            # ONE job yields both the lineage stats and the affected-bucket
+            # list the merge needs for file pruning (O(n_buckets) rows)
+            bstats = (
+                deduped.groupBy(
+                    bucket_expr(lake.key, lake.n_buckets).alias("bucket")
+                )
+                .agg(
+                    F.min("_lsn").alias("min_lsn"),
+                    F.max("_lsn").alias("max_lsn"),
+                    F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias(
+                        "upserts"
+                    ),
+                    F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias(
+                        "deletes"
+                    ),
+                )
+                .collect()
+            )
             info = lake.merge(
                 deduped,
                 batch_id=batch_id,
@@ -207,8 +225,10 @@ class CdcApply:
                 new_schemas=schemas if changes else None,
                 new_schema_id=schema_id if changes else None,
                 new_truncate_lsn=t_new,
+                affected_buckets=[r["bucket"] for r in bstats],
+                batch_rows=sum(r["upserts"] + r["deletes"] for r in bstats),
             )
-            self._write_metrics(table, batch_id, deduped, info, t0, lake)
+            self._write_metrics(table, batch_id, bstats, info, t0)
         finally:
             deduped.unpersist()
         return info
@@ -218,33 +238,20 @@ class CdcApply:
         self,
         table: str,
         batch_id: int,
-        deduped: DataFrame,
+        bstats: list,
         info: dict,
         t0: float,
-        lake: LakeTable,
     ) -> None:
         path = os.path.join(self.cfg.lake_root, "_metrics")
+        latency = time.time() - t0
         if info.get("skipped"):
             rows = [(table, batch_id, None, None, None, None, None,
-                     info["version"], True, time.time() - t0)]
+                     info["version"], True, latency)]
         else:
-            per_bucket = (
-                deduped.groupBy(
-                    bucket_expr(lake.key, lake.n_buckets).alias("bucket")
-                )
-                .agg(
-                    F.min("_lsn").alias("min_lsn"),
-                    F.max("_lsn").alias("max_lsn"),
-                    F.sum(F.when(~F.col("_deleted"), 1).otherwise(0)).alias("upserts"),
-                    F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias("deletes"),
-                )
-                .collect()
-            )
-            latency = time.time() - t0
             rows = [
                 (table, batch_id, r["bucket"], r["min_lsn"], r["max_lsn"],
                  r["upserts"], r["deletes"], info["version"], False, latency)
-                for r in per_bucket
+                for r in bstats
             ] or [(table, batch_id, None, None, None, 0, 0, info["version"],
                    False, latency)]
         self.spark.createDataFrame(rows, METRICS_DDL).coalesce(1).write.mode(

@@ -91,6 +91,10 @@ def project_to(df: DataFrame, src_fields: list, dst_fields: list) -> DataFrame:
 
 
 class LakeTable:
+    #: above this many batch rows the broadcast 'join' merge strategy falls
+    #: back to the shuffle 'agg' strategy (a broadcast must fit executor mem)
+    broadcast_max_rows = 5_000_000
+
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
@@ -239,6 +243,9 @@ class LakeTable:
         new_schema_id: int | None = None,
         new_truncate_lsn: int | None = None,
         extra_summary: dict | None = None,
+        affected_buckets: list[int] | None = None,
+        batch_rows: int | None = None,
+        strategy: str | None = None,
     ) -> dict:
         """Copy-on-write upsert of a deduped batch + single atomic commit.
 
@@ -248,6 +255,26 @@ class LakeTable:
         batch; ``new_truncate_lsn`` publishes a table truncate. Idempotent:
         a batch_id at or below the last committed one is skipped wholesale
         (exactly-once under Spark's replay-on-restart, E2).
+
+        Two physical strategies (result-identical, covered by the same
+        oracle tests):
+
+        - ``join`` (default when the batch is broadcastable): lake bytes
+          NEVER shuffle. The deduped batch's (key, lsn) set is broadcast;
+          survivors of the old files are a map-side left join + filter,
+          stale batch rows are a map-side inner join, and only the (small)
+          batch side repartitions by bucket. Per batch the touched lake
+          data flows parquet-scan -> map filter -> parquet-write exactly
+          once — the shape that survives 100 TB, where shuffling the lake
+          through an exchange would dominate (and this VM's memory-bandwidth
+          ceiling shows exactly that effect locally).
+        - ``agg`` (fallback for huge batches): union old+batch, per-key
+          max_by reduce (partial-aggregated), repartition by bucket.
+          Shuffles touched lake rows; used when the batch itself is too
+          large to broadcast.
+
+        ``batch_rows`` (when known, e.g. from the caller's lineage job)
+        picks the strategy automatically.
         """
         cur = self._meta
         if batch_id <= cur["last_batch"]["id"]:
@@ -270,39 +297,78 @@ class LakeTable:
         files: list[dict] = []
         rewritten, affected = 0, []
 
-        n_rows = 0
         if batch_df is not None:
             b = batch_df.withColumn(
                 "_bucket", bucket_expr(self.key, self.n_buckets)
             )
-            # small driver-side control read: just the distinct bucket ids
-            affected = sorted(
-                r[0] for r in b.select("_bucket").distinct().collect()
+            if affected_buckets is not None:
+                # caller already knows (e.g. from its lineage-metrics job) —
+                # saves one job per batch
+                affected = sorted(affected_buckets)
+            else:
+                # small driver-side control read: just the distinct bucket ids
+                affected = sorted(
+                    r[0] for r in b.select("_bucket").distinct().collect()
+                )
+        if strategy is None:
+            strategy = (
+                "join"
+                if batch_rows is not None and batch_rows <= self.broadcast_max_rows
+                else "agg" if batch_rows is not None else "join"
             )
         if affected:
             touched = [f for f in cur["files"] if f["bucket"] in affected]
             untouched = [f for f in cur["files"] if f["bucket"] not in affected]
             old = self._read_files(touched, final_fields)
+            key = list(self.key)
             if old is not None:
                 old = old.withColumn(
                     "_bucket", bucket_expr(self.key, self.n_buckets)
                 )
                 # rows killed by a truncate can be GC'd while we rewrite
                 old = old.filter(F.col("_lsn") > F.lit(truncate_lsn))
-                merged = old.unionByName(b)
+            if old is None:
+                merged = b.repartition(
+                    max(len(affected), 1), "_bucket"
+                ).sortWithinPartitions("_bucket", *key)
+            elif strategy == "join":
+                # broadcast the batch's (key, lsn) set; lake rows never shuffle
+                bk = F.broadcast(
+                    b.select(*key, F.col("_lsn").alias("_b_lsn"))
+                )
+                # old survivors: no batch row for the key, or batch is stale
+                # (ties -> old wins, the rows are identical redeliveries)
+                keep_old = (
+                    old.join(bk, key, "left")
+                    .filter(
+                        F.col("_b_lsn").isNull()
+                        | (F.col("_b_lsn") <= F.col("_lsn"))
+                    )
+                    .drop("_b_lsn")
+                )
+                # batch rows beaten by an existing newer/equal row (map-side
+                # inner join over old; output is at most |batch| keys)
+                stale = (
+                    old.join(bk, key, "inner")
+                    .filter(F.col("_lsn") >= F.col("_b_lsn"))
+                    .select(*key)
+                )
+                keep_batch = b.join(F.broadcast(stale), key, "left_anti")
+                merged = keep_old.unionByName(
+                    keep_batch.repartition(max(len(affected), 1), "_bucket")
+                ).sortWithinPartitions("_bucket", *key)
             else:
-                merged = b
-            key = list(self.key)
-            payload = [c for c in merged.columns if c not in key]
-            # partial aggregation collapses per-key map-side before the
-            # single shuffle; sortWithinPartitions gives key-sorted files
-            merged = (
-                merged.groupBy(*key)
-                .agg(F.max_by(F.struct(*payload), F.col("_lsn")).alias("_s"))
-                .select(*key, F.col("_s.*"))
-                .repartition(max(len(affected), 1), "_bucket")
-                .sortWithinPartitions("_bucket", *key)
-            )
+                merged = old.unionByName(b)
+                payload = [c for c in merged.columns if c not in key]
+                # partial aggregation collapses per-key map-side before the
+                # single shuffle; sortWithinPartitions gives key-sorted files
+                merged = (
+                    merged.groupBy(*key)
+                    .agg(F.max_by(F.struct(*payload), F.col("_lsn")).alias("_s"))
+                    .select(*key, F.col("_s.*"))
+                    .repartition(max(len(affected), 1), "_bucket")
+                    .sortWithinPartitions("_bucket", *key)
+                )
             data_rel = f"data/v{new_version}"
             out_dir = os.path.join(self.root, data_rel)
             (

@@ -1,0 +1,202 @@
+"""Snapshot subsystem — the reference's bootstrap path, Spark-style.
+
+Reference behavior reproduced (SURVEY.md §3.2):
+
+- ``PostgresSnapshot.dump`` (``/root/reference/cdc/snapshots/sources/
+  postgres_snapshot.py:33-79``): a consistent full-table export inside one
+  transaction, recording a transaction-id snapshot descriptor. Engine analog:
+  ``bootstrap`` loads an initial table state into the lake as snapshot 0 and
+  records the LSN watermark; the streaming apply then only replays events
+  past it (F3).
+- ``FileSnapshotDestination`` (``file_snapshot.py:34-119``): directory dump
+  ``cdc_snapshot_<product>_<id>/`` with ``metadata.json``, per-table
+  ``tables/<t>.csv[.gz]``, and a ``complete.json`` success marker written
+  only on clean close. Engine analog: ``export_csv`` writes the same layout
+  from the lake's live view (gzip csv via Spark's distributed writer).
+- control protocol (``control_protocol.py:21-54``): snapshot-init /
+  snapshot-abort / snapshot-loaded JSON messages. Engine analog: in-band
+  control rows (LSN-ordered — strictly stronger than the reference's
+  out-of-band Kafka topic) plus the same JSON wire encoding for
+  interoperability.
+- per-column formatters (``snapshot_types.py:59-91``): a registry with the
+  reference's ``datetime`` formatter (DATE_TRUNC to seconds) and room for
+  more — all column expressions, zero per-row Python.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import EngineConfig
+from .lake import LakeTable
+
+# ---------------------------------------------------------------- formatters
+
+FORMATTERS = {
+    # reference format_datetime: DATE_TRUNC('second', col)::timestamp
+    "datetime": lambda c: F.date_trunc("second", F.col(c)).cast("timestamp"),
+}
+
+
+def project_columns(df: DataFrame, columns: list[dict] | None) -> DataFrame:
+    """Reference TableConfig projection: optional column subset, each with an
+    optional formatter (postgres_snapshot.py:64-69, 82-88). ``columns`` is
+    [{"name": ..., "formatter": ...?}, ...]; None means SELECT *."""
+    if not columns:
+        return df
+    exprs = []
+    for c in columns:
+        fmt = c.get("formatter")
+        if fmt:
+            exprs.append(FORMATTERS[fmt](c["name"]).alias(c["name"]))
+        else:
+            exprs.append(F.col(c["name"]))
+    return df.select(*exprs)
+
+
+# ------------------------------------------------------------ control msgs
+
+
+def init_snapshot_message(snapshot_id: str, tables: list[str], product: str) -> bytes:
+    """Wire-compatible snapshot-init (control_protocol.py:21-33)."""
+    return json.dumps(
+        {
+            "event": "snapshot-init",
+            "snapshot-id": snapshot_id,
+            "product": product,
+            "tables": tables,
+        }
+    ).encode("utf-8")
+
+
+def abort_snapshot_message(snapshot_id: str) -> bytes:
+    """Wire-compatible snapshot-abort (control_protocol.py:36-41)."""
+    return json.dumps(
+        {"event": "snapshot-abort", "snapshot-id": snapshot_id}
+    ).encode("utf-8")
+
+
+def loaded_snapshot_message(snapshot_id: str, product: str, lsn_watermark: int) -> bytes:
+    """snapshot-loaded with the transaction descriptor; the engine's
+    descriptor is the LSN watermark (the reference's xmin/xmax/xip txid
+    snapshot collapses to one number under total LSN order)."""
+    return json.dumps(
+        {
+            "event": "snapshot-loaded",
+            "snapshot-id": snapshot_id,
+            "product": product,
+            "transaction-info": {"lsn-watermark": lsn_watermark},
+        }
+    ).encode("utf-8")
+
+
+# ----------------------------------------------------------------- bootstrap
+
+
+def bootstrap(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    initial: DataFrame,
+    lsn_watermark: int,
+    table: str = "repos",
+    columns: list[dict] | None = None,
+) -> LakeTable:
+    """Load a consistent initial table state as lake snapshot 0 and record
+    the LSN watermark: change events at or below it are already contained in
+    the bootstrap state and must be dropped on replay (the engine's
+    SnapshotDescriptor semantics, F3). The commit records epoch -1 so the
+    first streaming batch (epoch 0) applies normally."""
+    root = os.path.join(cfg.lake_root, table)
+    lake = LakeTable.create(
+        spark, root,
+        fields=list(cfg.base_fields), key=cfg.key,
+        n_buckets=cfg.n_buckets, table=table,
+    )
+    df = project_columns(initial, columns)
+    batch = df.withColumn("_lsn", F.lit(lsn_watermark)).withColumn(
+        "_deleted", F.lit(False)
+    ).withColumn("_extra", F.lit(None).cast("map<string,string>"))
+    info = lake.merge(
+        batch, batch_id=0, lsn_hwm=lsn_watermark,
+        extra_summary={"bootstrap": True, "lsn_watermark": lsn_watermark},
+    )
+    assert not info["skipped"]
+    # rewind the committed-batch key so streaming epoch 0..n still applies:
+    # bootstrap is epoch -1 in the metadata
+    meta = dict(lake.meta)
+    meta["last_batch"] = {"id": -1, "lsn_hwm": lsn_watermark}
+    meta["version"] = lake.version + 1
+    meta["parent"] = lake.version
+    LakeTable._publish(root, meta)
+    return lake.refresh()
+
+
+def snapshot_boundary_filter(df: DataFrame, lake: LakeTable) -> DataFrame:
+    """Drop change events already contained in the bootstrap snapshot."""
+    return df.filter(F.col("lsn") > F.lit(lake.last_batch["lsn_hwm"]))
+
+
+# ---------------------------------------------------------------- CSV export
+
+
+def export_csv(
+    lake: LakeTable,
+    out_root: str,
+    snapshot_id: str,
+    product: str = "cdc",
+    compress: bool = True,
+) -> str:
+    """Dump the lake's live view as the reference's snapshot directory layout
+    (file_snapshot.py:34-119): metadata.json + tables/<t>.csv[.gz] + a
+    complete.json success marker written ONLY after every table file is
+    durable — a crash mid-dump leaves no marker and consumers ignore the
+    directory (state machine K4)."""
+    name = f"cdc_snapshot_{product}_{snapshot_id}"
+    dest = os.path.join(out_root, name)
+    tables_dir = os.path.join(dest, "tables")
+    os.makedirs(tables_dir, exist_ok=True)
+
+    table = lake.meta["table"]
+    with open(os.path.join(dest, "metadata.json"), "w") as fh:
+        json.dump(
+            {
+                "snapshot-id": snapshot_id,
+                "product": product,
+                "transaction-info": {
+                    "lsn-watermark": lake.last_batch["lsn_hwm"],
+                    "lake-version": lake.version,
+                },
+                "content": [
+                    {
+                        "table": table,
+                        "columns": [n for n, _ in lake.schema_fields()],
+                        "format": "csv",
+                        "zip": "gzip" if compress else None,
+                    }
+                ],
+            },
+            fh,
+            indent=1,
+        )
+
+    tmp = os.path.join(tables_dir, f"_{table}_spark")
+    writer = lake.read().coalesce(1).write.option("header", True)
+    if compress:
+        writer = writer.option("compression", "gzip")
+    writer.mode("overwrite").csv(tmp)
+    ext = ".csv.gz" if compress else ".csv"
+    part = glob.glob(os.path.join(tmp, "part-*"))[0]
+    os.rename(part, os.path.join(tables_dir, f"{table}{ext}"))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+
+    # success marker last — no marker, no snapshot
+    with open(os.path.join(dest, "complete.json"), "w") as fh:
+        json.dump({"event": "snapshot-complete", "snapshot-id": snapshot_id}, fh)
+    return dest
