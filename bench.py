@@ -55,8 +55,8 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # ---- headline: end-to-end CDC ingest (events -> lake commits)
-    n_events = max(100_000, int(sf * 20_000_000))
-    n_batches = 4
+    n_events = max(200_000, int(sf * 40_000_000))
+    n_batches = 2
     work = tempfile.mkdtemp(prefix="cdc_bench_")
     try:
         cfg = EngineConfig(

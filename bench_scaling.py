@@ -84,18 +84,32 @@ def run_child(cpus: int, per_batch: int, n_batches: int) -> None:
         spark.stop()
 
 
+def _sha_work(_):
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(600_000):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def _bw_work(_):
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.float64)  # 200 MB
+    b = np.empty_like(a)
+    t = time.time()
+    for _ in range(8):
+        np.copyto(b, a)
+    return 8 * a.nbytes * 2 / (time.time() - t) / 1e9
+
+
 def _calibrate_cpu() -> dict:
     """Hardware ceiling probe: pure-CPU scaling via multiprocessing sha256
     (no JVM, no memory pressure)."""
-    import hashlib
     from multiprocessing import Pool
 
-    def work(_):
-        h = b"x" * 64
-        for _ in range(600_000):
-            h = hashlib.sha256(h).digest()
-        return 1
-
+    work = _sha_work
     out = {}
     for n in (2, 8, 32):
         t = time.time()
@@ -112,19 +126,9 @@ def _calibrate_cpu() -> dict:
 def _calibrate_bandwidth() -> dict:
     """Hardware ceiling probe: aggregate memory bandwidth (copy) at each
     parallelism level."""
-    import numpy as np  # noqa: F401  (imported in child via closure)
     from multiprocessing import Pool
 
-    def bw(_):
-        import numpy as np
-
-        a = np.ones(25_000_000, dtype=np.float64)  # 200 MB
-        b = np.empty_like(a)
-        t = time.time()
-        for _ in range(8):
-            np.copyto(b, a)
-        return 8 * a.nbytes * 2 / (time.time() - t) / 1e9
-
+    bw = _bw_work
     out = {}
     for n in (2, 8, 32):
         with Pool(n) as p:

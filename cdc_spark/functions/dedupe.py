@@ -184,18 +184,35 @@ SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v ORDER BY doc_id
 
 # ---------------------------------------------------------- n-gram jaccard
 JACCARD_THRESHOLD = 0.2
+#: shingles appearing in more than this many docs of a source are dropped
+#: BEFORE the pair join (each shingle shared by k docs yields k^2/2 pair
+#: rows, so stop-shingles dominate cost while carrying no dedup signal);
+#: set sizes use the same filtered sets so Jaccard stays a true ratio
+MAX_SHINGLE_DF = 64
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
     """n-gram Jaccard near-dup pairs, blocked by source (never all-pairs):
-    explode distinct shingles, self-join on (source, shingle) to count the
-    intersection, join per-doc set sizes, filter by threshold."""
+    explode distinct shingles, drop stop-shingles (doc-frequency cap),
+    self-join on (source, shingle-hash) to count the intersection, join
+    per-doc set sizes, filter by threshold. The join key is the 8-byte
+    portable hash of the shingle — less shuffle width, identical result in
+    both engines (same hash)."""
     d = _docs(spark, sf_dir)
     sh = d.select(
         "doc_id",
         "source",
-        F.explode(F.expr(spark_shingles("text"))).alias("sh"),
+        F.explode(F.expr(spark_shingles("text"))).alias("sh0"),
+    ).select(
+        "doc_id", "source", F.expr(spark_poly_hash("sh0")).alias("sh")
     )
+    rare = (
+        sh.groupBy("source", "sh")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .select("source", "sh")
+    )
+    sh = sh.join(rare, ["source", "sh"])
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -226,8 +243,12 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
 
 def sql_ngram_jaccard_pairs() -> str:
     return f"""
-WITH sh AS (
-  SELECT doc_id, source, unnest({duck_shingles('text')}) AS sh FROM documents),
+WITH sh0 AS (
+  SELECT doc_id, source, unnest({duck_shingles('text')}) AS sh0 FROM documents),
+shall AS (SELECT doc_id, source, {duck_poly_hash('sh0')} AS sh FROM sh0),
+rare AS (SELECT source, sh FROM shall GROUP BY source, sh
+         HAVING count(*) <= {MAX_SHINGLE_DF}),
+sh AS (SELECT shall.* FROM shall JOIN rare USING (source, sh)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
