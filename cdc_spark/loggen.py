@@ -191,16 +191,12 @@ def write_segments(
     return len(glob.glob(os.path.join(path, "seg=*")))
 
 
-def to_frames(df: DataFrame) -> DataFrame:
-    """Encode envelope rows as the reference's framed wire format.
-
-    ``M|<escaped table>|<wal2json JSON>`` for DML (escaping ``\\`` -> ``\\\\``
-    and ``|`` -> ``\\|`` exactly as the reference's parser expects,
-    ``postgres_logical.py:45-68``), ``B|``/``C|`` for transaction brackets,
-    ``G|`` generic for control events. Returns (lsn, value) rows; the LSN
-    rides outside the payload like wal_msg.data_start does in the reference
-    (``postgres_logical.py:176-181``).
-    """
+def frame_value(df: DataFrame):
+    """Column expression encoding envelope rows as the reference's framed
+    wire format: ``M|<escaped table>|<wal2json JSON>`` for DML (escaping
+    ``\\`` -> ``\\\\`` and ``|`` -> ``\\|`` exactly as the reference's
+    parser expects, ``postgres_logical.py:45-68``), ``B|``/``C|`` for
+    transaction brackets, ``G|`` generic for control events."""
     esc_table = F.regexp_replace(
         F.regexp_replace(F.col("table"), r"\\", r"\\\\"), r"\|", r"\\|"
     )
@@ -225,7 +221,7 @@ def to_frames(df: DataFrame) -> DataFrame:
             F.col("schema_change").alias("schema_change"),
         )
     )
-    value = (
+    return (
         F.when(F.col("op") == "begin", F.concat(F.lit("B|"), generic))
         .when(F.col("op") == "commit", F.concat(F.lit("C|"), generic))
         .when(
@@ -234,4 +230,9 @@ def to_frames(df: DataFrame) -> DataFrame:
         )
         .otherwise(F.concat(F.lit("G|"), generic))
     )
-    return df.select("lsn", value.alias("value"))
+
+
+def to_frames(df: DataFrame) -> DataFrame:
+    """(lsn, value) wire frames; the LSN rides outside the payload like
+    wal_msg.data_start in the reference (``postgres_logical.py:176-181``)."""
+    return df.select("lsn", frame_value(df).alias("value"))
