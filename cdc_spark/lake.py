@@ -62,6 +62,10 @@ META_FIELDS = [("_lsn", "long"), ("_deleted", "boolean"),
 _META_NAMES = {n for n, _ in META_FIELDS}
 
 
+class ConcurrentCommitError(RuntimeError):
+    """Another writer published this version first; refresh and retry."""
+
+
 def sql_type(t: str) -> str:
     return _SQL_TYPES[t]
 
@@ -136,15 +140,30 @@ class LakeTable:
         )
 
     @staticmethod
-    def _publish(root: str, meta: dict) -> None:
-        """Atomic manifest publish: stage then rename. No rename -> the
+    def _publish(root: str, meta: dict, replace: bool = False) -> None:
+        """Atomic manifest publish: stage then hard-link into place. The
+        link(2) fails if the version already exists, so two writers racing
+        to commit the same version cannot clobber each other — the loser
+        gets ``FileExistsError`` and must refresh + retry (optimistic
+        concurrency, like Iceberg's catalog swap). No publish -> the
         snapshot never existed (reference K4 semantics)."""
         mdir = os.path.join(root, "metadata")
         final = os.path.join(mdir, f"v{meta['version']}.json")
         tmp = os.path.join(mdir, f".tmp.v{meta['version']}.json")
         with open(tmp, "w") as fh:
             json.dump(meta, fh, indent=1)
-        os.rename(tmp, final)
+        if replace:
+            os.rename(tmp, final)
+            return
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise ConcurrentCommitError(
+                f"version {meta['version']} already published at {root}"
+            ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
 
     def _load_current(self) -> dict:
         mdir = os.path.join(self.root, "metadata")
@@ -216,9 +235,22 @@ class LakeTable:
             out = out.unionByName(p)
         return out
 
-    def read(self, include_meta: bool = False) -> DataFrame:
-        """Current live view: current schema, tombstones and truncated rows
-        filtered out."""
+    def _load_version(self, version: int) -> dict:
+        with open(os.path.join(self.root, "metadata", f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
+        """Live view: tombstones and truncated rows filtered out. Pass
+        ``version`` for time travel to any retained snapshot (each manifest
+        is self-contained: file list + schema history + watermarks)."""
+        meta = self._meta if version is None else self._load_version(version)
+        if version is not None:
+            # evaluate under that snapshot's schema + watermarks
+            saved, self._meta = self._meta, meta
+            try:
+                return self.read(include_meta=include_meta)
+            finally:
+                self._meta = saved
         fields = self.schema_fields()
         df = self._read_files(self._meta["files"], fields)
         if df is None:
@@ -466,6 +498,48 @@ class LakeTable:
         self._publish(self.root, meta)
         self._meta = meta
         return {"version": new_version, "compacted": len(files)}
+
+    def expire_snapshots(self, keep_last: int = 2) -> dict:
+        """Retention: drop manifests older than the newest ``keep_last`` and
+        delete data files referenced only by them (Iceberg expire_snapshots
+        semantics — the engine analog of the reference's WAL reclamation via
+        ``send_feedback``, which lets Postgres discard acked segments)."""
+        mdir = os.path.join(self.root, "metadata")
+        versions = sorted(
+            int(f[1:-5])
+            for f in os.listdir(mdir)
+            if f.startswith("v") and f.endswith(".json")
+        )
+        keep = set(versions[-keep_last:])
+        drop = [v for v in versions if v not in keep]
+        live_files = set()
+        for v in keep:
+            live_files.update(f["path"] for f in self._load_version(v)["files"])
+        removed = 0
+        for v in drop:
+            for f in self._load_version(v)["files"]:
+                if f["path"] not in live_files:
+                    p = os.path.join(self.root, f["path"])
+                    if os.path.exists(p):
+                        os.unlink(p)
+                        removed += 1
+            os.unlink(os.path.join(mdir, f"v{v}.json"))
+        # sweep now-empty data dirs
+        data_root = os.path.join(self.root, "data")
+        if os.path.isdir(data_root):
+            for d in sorted(os.listdir(data_root)):
+                full = os.path.join(data_root, d)
+                for sub in sorted(os.listdir(full)):
+                    subp = os.path.join(full, sub)
+                    if os.path.isdir(subp) and not any(
+                        x.endswith(".parquet") for x in os.listdir(subp)
+                    ):
+                        import shutil
+
+                        shutil.rmtree(subp, ignore_errors=True)
+                if not os.listdir(full):
+                    os.rmdir(full)
+        return {"expired_versions": drop, "files_removed": removed}
 
     def snapshot_log(self) -> list[dict]:
         """All manifests oldest-first (time travel / lineage audit)."""
