@@ -196,9 +196,15 @@ class CdcApply:
             projected = projected.unionByName(p)
 
         # -- LWW dedup (A2) + merge (E1) under one persist
-        deduped = lww_dedup(
-            projected, key=key, order_col="_lsn", salt=self.cfg.salt
-        ).persist()
+        if self.cfg.dedup_narrow:
+            from .dedup import lww_dedup_narrow
+
+            deduped = lww_dedup_narrow(projected, key=key, order_col="_lsn")
+        else:
+            deduped = lww_dedup(
+                projected, key=key, order_col="_lsn", salt=self.cfg.salt
+            )
+        deduped = deduped.persist()
         try:
             # ONE job yields both the lineage stats and the affected-bucket
             # list the merge needs for file pruning (O(n_buckets) rows)

@@ -59,6 +59,12 @@ class EngineConfig:
     checkpoint: str = "/tmp/cdc_checkpoint"
     n_buckets: int = 16
     salt: int = 1
+    #: narrow LWW dedup: shuffle only (key, lsn), recover wide payloads via
+    #: broadcast semi-join (+33% ingest at 0.5-1 KB payloads, measured).
+    #: Default ON — the target workload is source-code content, where
+    #: payload bytes dominate. Turn OFF for tiny payloads with mostly-unique
+    #: keys per batch, or batches whose winner set exceeds broadcast memory.
+    dedup_narrow: bool = True
     shuffle_partitions: int = 32
     max_files_per_trigger: int | None = None
     key: tuple[str, ...] = KEY_COLUMNS

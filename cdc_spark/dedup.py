@@ -54,6 +54,31 @@ def lww_dedup(
     )
 
 
+def lww_dedup_narrow(
+    df: DataFrame,
+    key: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "lsn",
+) -> DataFrame:
+    """LWW dedup for WIDE payloads (large ``content``): shuffle only the
+    narrow (key, lsn) projection to find each key's winning LSN, broadcast
+    the winners, and recover full rows with a map-side semi join — the wide
+    columns never enter an exchange. Right shape when payload bytes dominate
+    (source-code content at 100 TB): shuffle volume drops from O(rows x
+    row_width) to O(rows x key_width).
+
+    Falls back conceptually to ``lww_dedup`` when the winner set is too big
+    to broadcast — pick per call site.
+    """
+    winners = df.select(*key, order_col).groupBy(*key).agg(
+        F.max(order_col).alias(order_col)
+    )
+    out = df.join(F.broadcast(winners), [*key, order_col], "left_semi")
+    # duplicate deliveries share (key, lsn) with identical payloads: keep
+    # one. This shuffle's input is already <=1 row/key (+dups), i.e. the
+    # winner set — not the raw batch.
+    return out.dropDuplicates(list(key))
+
+
 def collapse_duplicate_lsns(df: DataFrame, order_col: str = "lsn") -> DataFrame:
     """Drop duplicate deliveries of the same LSN (A3). Subsumed by
     ``lww_dedup`` for keyed DML; needed standalone only for control events

@@ -53,6 +53,7 @@ def change_log(
     table: str = "repos",
     start_lsn: int = 1,
     seed: int = 42,
+    content_repeat: int = 1,
 ) -> DataFrame:
     """Build the change-log DataFrame with envelope ``ENVELOPE_DDL``.
 
@@ -80,8 +81,12 @@ def change_log(
     lang = F.element_at(
         F.array(*[F.lit(x) for x in LANGS]), (F.pmod(_h(lsn, seed, 5), F.lit(len(LANGS))) + 1).cast("int")
     )
-    # variable-length deterministic body; sha256(content) is the invariant
-    body_rep = (F.pmod(_h(lsn, seed, 6), F.lit(8)) + 1).cast("int")
+    # variable-length deterministic body; sha256(content) is the invariant.
+    # content_repeat scales bodies toward realistic source-file sizes
+    # (default ~8-70 B; content_repeat=32 -> ~0.25-2 KB)
+    body_rep = ((F.pmod(_h(lsn, seed, 6), F.lit(8)) + 1) * F.lit(content_repeat)).cast(
+        "int"
+    )
     repo_s = F.concat(F.lit("repo-"), repo_idx.cast("string"))
     path_s = F.concat(
         F.lit("src/"), path_idx.cast("string"), F.lit("/file_"),
