@@ -5,9 +5,9 @@ from __future__ import annotations
 
 
 def registry() -> dict:
-    from . import dedupe, multimodal, similarity, text
+    from . import dedupe, multimodal, similarity, temporal, text
 
     out: dict = {}
-    for mod in (text, dedupe, similarity, multimodal):
+    for mod in (text, dedupe, similarity, multimodal, temporal):
         out.update(mod.registry())
     return out
