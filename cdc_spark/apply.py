@@ -123,22 +123,49 @@ class CdcApply:
         lake = self.lake_for(table)
         key = lake.key
 
-        # -- schema epochs: ranges of LSN interpreted under each schema
+        # -- schema epochs, reconstructed from the GLOBAL change history.
+        # Control events can arrive out of order across microbatches (a
+        # retype may be delivered before its add); applying changes in
+        # arrival order would corrupt the schema, so the lake metadata keeps
+        # the full (lsn, change) history and every batch recomputes the
+        # epoch chain from the base schema in LSN order.
         # (collect_set dedupes duplicate-delivered control events; A3)
-        changes = sorted(
+        batch_changes = sorted(
             {(c["lsn"], c["schema_change"]) for c in (ctrl["changes"] or [])}
         )
-        schemas = [dict(s) for s in lake.meta["schemas"]]
-        schema_id = lake.meta["schema_id"]
-        epochs = [(-1, lake.schema_fields(schema_id))]  # (lower_lsn, fields)
-        for c_lsn, c_json in changes:
-            fields = evolve_fields(epochs[-1][1], json.loads(c_json), key)
-            schema_id += 1
-            schemas.append(
-                {"schema_id": schema_id, "fields": [list(f) for f in fields]}
+        history = {int(l): c for l, c in lake.meta.get("schema_changes", [])}
+        new_history = False
+        for c_lsn, c_json in batch_changes:
+            if c_lsn in history:
+                if history[c_lsn] != c_json:
+                    raise ValueError(
+                        f"conflicting schema changes at lsn {c_lsn}"
+                    )
+                continue  # duplicate redelivery
+            history[c_lsn] = c_json
+            new_history = True
+        all_changes = sorted(history.items())
+        epochs = [(-1, lake.schema_fields(0))]  # (lower_lsn, fields)
+        for c_lsn, c_json in all_changes:
+            epochs.append(
+                (c_lsn, evolve_fields(epochs[-1][1], json.loads(c_json), key))
             )
-            epochs.append((c_lsn, fields))
         final_fields = epochs[-1][1]
+        changes = new_history  # did the schema state move this batch?
+
+        # final schema -> id: reuse an existing entry when fields match,
+        # else append a fresh version (files reference entries append-only)
+        schemas = [dict(s) for s in lake.meta["schemas"]]
+        schema_id = None
+        for s in schemas:
+            if [tuple(f) for f in s["fields"]] == final_fields:
+                schema_id = s["schema_id"]
+                break
+        if schema_id is None:
+            schema_id = max(s["schema_id"] for s in schemas) + 1
+            schemas.append(
+                {"schema_id": schema_id, "fields": [list(f) for f in final_fields]}
+            )
 
         # -- truncate watermark: rows at or below it are dead (F3)
         t_new = ctrl["tr_lsn"]
@@ -230,6 +257,9 @@ class CdcApply:
                 lsn_hwm=ctrl["lsn_hwm"],
                 new_schemas=schemas if changes else None,
                 new_schema_id=schema_id if changes else None,
+                new_schema_changes=(
+                    [[l, c] for l, c in all_changes] if changes else None
+                ),
                 new_truncate_lsn=t_new,
                 affected_buckets=[r["bucket"] for r in bstats],
                 batch_rows=sum(r["upserts"] + r["deletes"] for r in bstats),

@@ -131,6 +131,43 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+def asof_join_pandas(events, orders, *, on="user_id", left_ts="ts",
+                     right_ts="o_orderdate"):
+    """The applyInPandas alternative for wide per-key fan-out: co-group both
+    sides by key, run ``pd.merge_asof`` per group inside Arrow batches. Use
+    when one key can have so many right-side rows that the relational range
+    join's intermediate explodes; data moves once (the cogroup shuffle) and
+    the per-group merge is O(n log n) instead of O(n_left x n_right)."""
+    import pandas as pd
+
+    out_fields = [f"{c.name} {c.dataType.simpleString()}" for c in events.schema]
+    out_fields += [
+        f"{c.name} {c.dataType.simpleString()}"
+        for c in orders.schema
+        if c.name != on
+    ]
+    ddl = ", ".join(out_fields)
+
+    def merge(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
+        le = le.sort_values(left_ts, kind="stable")
+        ri = ri.sort_values(right_ts, kind="stable")
+        if ri.empty:
+            for c in ri.columns:
+                if c != on:
+                    le[c] = None
+            return le
+        m = pd.merge_asof(
+            le, ri.drop(columns=[on]), left_on=left_ts, right_on=right_ts
+        )
+        return m
+
+    return (
+        events.groupBy(on)
+        .cogroup(orders.groupBy(on))
+        .applyInPandas(lambda le, ri: merge(le, ri), ddl)
+    )
+
+
 def registry() -> dict:
     return {
         "asof_join": (q_asof_join, SQL_ASOF),

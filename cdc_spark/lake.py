@@ -123,6 +123,7 @@ class LakeTable:
             "n_buckets": n_buckets,
             "schema_id": 0,
             "schemas": [{"schema_id": 0, "fields": [list(f) for f in fields]}],
+            "schema_changes": [],
             "files": [],
             "truncate_lsn": -1,
             "last_batch": {"id": -1, "lsn_hwm": -1},
@@ -278,6 +279,7 @@ class LakeTable:
         affected_buckets: list[int] | None = None,
         batch_rows: int | None = None,
         strategy: str | None = None,
+        new_schema_changes: list | None = None,
     ) -> dict:
         """Copy-on-write upsert of a deduped batch + single atomic commit.
 
@@ -433,6 +435,11 @@ class LakeTable:
             "n_buckets": cur["n_buckets"],
             "schema_id": schema_id,
             "schemas": schemas,
+            "schema_changes": (
+                new_schema_changes
+                if new_schema_changes is not None
+                else cur.get("schema_changes", [])
+            ),
             "files": files,
             "truncate_lsn": truncate_lsn,
             "last_batch": {"id": batch_id, "lsn_hwm": max(lsn_hwm, cur["last_batch"]["lsn_hwm"])},

@@ -56,6 +56,31 @@ def test_schema_change_across_ordered_batches(spark, tmpdir_factory_clean):
     assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
 
 
+def test_control_events_in_reverse_batch_order(spark, tmpdir_factory_clean):
+    """Regression: a retype delivered in an EARLIER batch than its add must
+    not no-op — the engine reconstructs epochs from the global (lsn, change)
+    history, so arrival order is irrelevant."""
+    root = tmpdir_factory_clean("rev")
+    changes = {
+        600: {"action": "add", "column": "stars", "type": "long"},
+        1200: {"action": "retype", "column": "stars", "type": "string"},
+    }
+    log = change_log(
+        spark, 2000, n_repos=12, n_paths=4, schema_changes=changes, seed=29,
+    )
+    cfg = _cfg(root)
+    applier = CdcApply(spark, cfg)
+    is_change = F.col("op") == "schema_change"
+    # batch 0: all data + ONLY the retype; batch 1: the add arrives late
+    applier.apply_batch(
+        log.filter(~is_change | (F.col("lsn") == 1200)), 0
+    )
+    applier.apply_batch(log.filter(F.col("lsn") == 600), 1)
+    lake = applier.lake_for("repos")
+    assert dict(lake.schema_fields())["stars"] == "string"
+    assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
+
+
 def test_late_delivered_add_column_resurrects_values(spark, tmpdir_factory_clean):
     """add-column event arrives one batch AFTER data rows that post-date it;
     the engine must still match the LSN-ordered oracle (values come back from
