@@ -87,7 +87,7 @@ def main(argv: list[str] | None = None) -> int:
     args = p.parse_args(argv)
 
     if args.cmd == "snapshot-abort":
-        from .snapshot import abort_snapshot_message
+        from cdc_spark.snapshot import abort_snapshot_message
 
         sys.stdout.write(abort_snapshot_message(args.snapshot_id).decode() + "\n")
         return 0
@@ -100,8 +100,8 @@ def main(argv: list[str] | None = None) -> int:
     spark = _session(args.cpus, shuffle)
     try:
         if args.cmd == "consumer":
-            from .config import EngineConfig
-            from .stream import start_stream
+            from cdc_spark.config import EngineConfig
+            from cdc_spark.stream import start_stream
 
             cfg = EngineConfig(
                 lake_root=args.lake,
@@ -118,8 +118,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             q.awaitTermination()
         elif args.cmd == "producer":
-            from .config import EngineConfig
-            from .forward import start_forward
+            from cdc_spark.config import EngineConfig
+            from cdc_spark.forward import start_forward
 
             cfg = EngineConfig(
                 lake_root=args.sink_path or "/tmp/cdc_forward",
@@ -132,8 +132,8 @@ def main(argv: list[str] | None = None) -> int:
             )
             q.awaitTermination()
         elif args.cmd == "snapshot":
-            from .lake import LakeTable
-            from .snapshot import export_csv
+            from cdc_spark.lake import LakeTable
+            from cdc_spark.snapshot import export_csv
 
             lake = LakeTable(spark, os.path.join(args.lake, args.table))
             dest = export_csv(
@@ -141,7 +141,7 @@ def main(argv: list[str] | None = None) -> int:
             )
             sys.stdout.write(dest + "\n")
         elif args.cmd == "loggen":
-            from .loggen import change_log, to_frames, write_segments
+            from cdc_spark.loggen import change_log, to_frames, write_segments
 
             df = change_log(
                 spark, args.events, n_repos=args.repos, seed=args.seed

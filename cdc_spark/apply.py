@@ -114,6 +114,7 @@ class CdcApply:
             results = []
             for row in ctrl:
                 results.append(self._apply_table(df, batch_id, row, t0))
+            self._maybe_maintain(batch_id, [r["table"] for r in ctrl])
             return results
         finally:
             df.unpersist()
@@ -268,6 +269,25 @@ class CdcApply:
         finally:
             deduped.unpersist()
         return info
+
+    # ---------------------------------------------------------- maintenance
+    def _maybe_maintain(self, batch_id: int, tables: list[str]) -> None:
+        """Periodic lake maintenance (cfg.compact_every): compaction drops
+        rows dead to truncates plus tombstones older than the out-of-order
+        bound, and snapshot expiry GCs unreferenced files — the engine
+        analog of WAL reclamation after the reference's position commit.
+        Re-running after a crash only produces another no-op compaction
+        version; correctness never depends on maintenance having run."""
+        every = self.cfg.compact_every
+        if not every or batch_id < 0 or (batch_id + 1) % every:
+            return
+        for t in tables:
+            lake = self.lake_for(t).refresh()
+            hwm = lake.last_batch["lsn_hwm"]
+            lake.compact(
+                tombstone_watermark_lsn=max(-1, hwm - self.cfg.tombstone_lag)
+            )
+            lake.expire_snapshots(keep_last=self.cfg.expire_keep)
 
     # -------------------------------------------------------------- metrics
     def _write_metrics(

@@ -65,6 +65,15 @@ class EngineConfig:
     #: payload bytes dominate. Turn OFF for tiny payloads with mostly-unique
     #: keys per batch, or batches whose winner set exceeds broadcast memory.
     dedup_narrow: bool = True
+    #: run lake maintenance every N committed batches (0 = off): compaction
+    #: (drop dead rows, consolidate bucket files) + snapshot expiry keeping
+    #: the newest ``expire_keep`` manifests. Cheap O(1) truncates and
+    #: tombstones accumulate physically until this runs.
+    compact_every: int = 0
+    expire_keep: int = 8
+    #: tombstones older than this many LSNs behind the high-watermark are
+    #: dropped at compaction (the source's max out-of-orderness bound)
+    tombstone_lag: int = 1_000_000
     shuffle_partitions: int = 32
     max_files_per_trigger: int | None = None
     key: tuple[str, ...] = KEY_COLUMNS
