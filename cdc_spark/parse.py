@@ -74,17 +74,37 @@ def split_frame(df: DataFrame, value: str = "value") -> DataFrame:
     )
 
 
-def decode_wal2json(split: DataFrame) -> DataFrame:
+def decode_wal2json(split: DataFrame, variant: bool = False) -> DataFrame:
     """Split frames -> the fixed envelope (``ENVELOPE_DDL``).
 
-    Change frames decode their wal2json body via ``from_json``; the parallel
-    columnnames/columnvalues arrays become a map, from which the fixed base
-    columns are lifted out (typed fast path) and the remainder stays in
-    ``extra`` for schema-evolved columns. Generic frames re-hydrate control
-    ops (truncate / schema_change) from their JSON body.
-    """
-    w = F.from_json(F.col("body"), WAL2JSON_DDL)
+    Change frames decode their wal2json body; the parallel columnnames /
+    columnvalues arrays become a map, from which the fixed base columns are
+    lifted out (typed fast path) and the remainder stays in ``extra`` for
+    schema-evolved columns. Generic frames re-hydrate control ops
+    (truncate / schema_change) from their JSON body.
+
+    ``variant=True`` decodes TRUE wal2json, whose columnvalues carry mixed
+    JSON types (unquoted numbers/booleans — the reference's 16-Postgres-type
+    fixture, ``tests/cdc/sources/backends/test_parse_msg.py:14-23``):
+    ``parse_json`` -> VARIANT -> array<string> canonicalizes every value,
+    all JVM-side. The default ``from_json`` path is for payloads whose
+    values are already strings (our framer)."""
     g = F.from_json(F.col("body"), GENERIC_DDL)
+    if variant:
+        v = F.parse_json(
+            F.when(F.col("frame_op") == "change", F.col("body"))
+        )
+        w = F.struct(
+            F.variant_get(v, "$.kind", "string").alias("kind"),
+            F.variant_get(v, "$.columnnames", "array<string>").alias(
+                "columnnames"
+            ),
+            F.variant_get(v, "$.columnvalues", "array<string>").alias(
+                "columnvalues"
+            ),
+        )
+    else:
+        w = F.from_json(F.col("body"), WAL2JSON_DDL)
     cols = F.map_from_arrays(w["columnnames"], w["columnvalues"])
     is_change = F.col("frame_op") == "change"
     # generic frames re-hydrate only KNOWN control ops; anything else stays
@@ -116,9 +136,11 @@ def decode_wal2json(split: DataFrame) -> DataFrame:
     )
 
 
-def parse_frames(df: DataFrame, value: str = "value") -> DataFrame:
+def parse_frames(
+    df: DataFrame, value: str = "value", variant: bool = False
+) -> DataFrame:
     """Full wire-to-envelope pipeline: split_frame |> decode_wal2json."""
-    out = decode_wal2json(split_frame(df, value))
+    out = decode_wal2json(split_frame(df, value), variant=variant)
     # lock the envelope column order/types
     names = [f.split()[0].strip("`") for f in ENVELOPE_DDL.split(", ")]
     return out.select(*[F.col(f"`{n}`") for n in names])

@@ -56,6 +56,45 @@ def test_wal2json_columns_decode(spark):
     assert row["extra"] == {"stars": "7"}
 
 
+TRUE_WAL2JSON = (
+    '{"event":"change","kind":"insert","schema":"public","table":"t16",'
+    '"columnnames":["c_int2","c_int2b","c_int4","c_int8","c_numeric",'
+    '"c_float4","c_float8","c_bpchar","c_varchar","c_text","c_varbit",'
+    '"c_timestamp","c_date","c_bool","c_json","c_tsvector",'
+    '"repo","path","commit","lang","content"],'
+    '"columntypes":["int2","int2","int4","int8","numeric","float4","float8",'
+    '"bpchar","varchar","text","varbit","timestamp","date","bool","json",'
+    '"tsvector","text","text","text","text","text"],'
+    '"columnvalues":[1,2,3,4,5.5,6.5,7.5,"pad  ","vc","txt","101",'
+    '"2019-01-01 00:00:00","2019-01-01",true,"{\\"k\\": 1}","\'x\':1'
+)
+
+
+def test_true_wal2json_mixed_types_variant_decode(spark):
+    """The reference's 16-Postgres-type wal2json fixture shape: unquoted
+    numbers and booleans in columnvalues. The variant decode canonicalizes
+    every value to its string form, JVM-side."""
+    body = TRUE_WAL2JSON + '","r1","p1","c1","py","body text"]}'
+    df = spark.createDataFrame(
+        [(9, "M|t16|" + body)], "lsn BIGINT, value STRING"
+    )
+    from cdc_spark.parse import parse_frames as pf
+
+    row = pf(df, variant=True).collect()[0]
+    assert row["op"] == "insert"
+    assert row["table"] == "t16"
+    assert row["repo"] == "r1" and row["content"] == "body text"
+    ex = row["extra"]
+    assert ex["c_int2"] == "1" and ex["c_int8"] == "4"
+    assert ex["c_numeric"] == "5.5" and ex["c_bool"] == "true"
+    assert ex["c_bpchar"] == "pad  "  # bpchar padding preserved
+    assert ex["c_varbit"] == "101"
+    assert ex["c_json"] == '{"k": 1}'
+    # plan stays pure-columnar in variant mode too
+    plan = pf(df, variant=True)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_split_body_is_exact_json(spark):
     df = spark.createDataFrame(
         [(1, f"M|t|{WAL2JSON_INSERT}"), (2, 'B|{"event":"begin","xid":1}')],
