@@ -111,9 +111,24 @@ class CdcApply:
                 )
                 .collect()
             )
-            results = []
-            for row in ctrl:
-                results.append(self._apply_table(df, batch_id, row, t0))
+            if len(ctrl) > 1:
+                # demuxed tables write to independent lakes; run their merge
+                # jobs concurrently (Spark schedules jobs from multiple
+                # driver threads in parallel). Lakes are created up front so
+                # the cache dict is not mutated across threads.
+                from concurrent.futures import ThreadPoolExecutor
+
+                for row in ctrl:
+                    self.lake_for(row["table"])
+                with ThreadPoolExecutor(max_workers=min(4, len(ctrl))) as ex:
+                    results = list(
+                        ex.map(
+                            lambda row: self._apply_table(df, batch_id, row, t0),
+                            ctrl,
+                        )
+                    )
+            else:
+                results = [self._apply_table(df, batch_id, row, t0) for row in ctrl]
             self._maybe_maintain(batch_id, [r["table"] for r in ctrl])
             return results
         finally:
@@ -298,7 +313,9 @@ class CdcApply:
         info: dict,
         t0: float,
     ) -> None:
-        path = os.path.join(self.cfg.lake_root, "_metrics")
+        # per-table subdir: concurrent per-table appends must not share a
+        # Hadoop _temporary staging dir
+        path = os.path.join(self.cfg.lake_root, "_metrics", table)
         latency = time.time() - t0
         if info.get("skipped"):
             rows = [(table, batch_id, None, None, None, None, None,
@@ -319,6 +336,7 @@ class CdcApply:
         between lake commit and metrics write replays as a 'skipped' row),
         so readers dedupe on (table, batch_id, bucket)."""
         return (
-            self.spark.read.parquet(os.path.join(self.cfg.lake_root, "_metrics"))
-            .dropDuplicates(["table", "batch_id", "bucket"])
+            self.spark.read.parquet(
+                os.path.join(self.cfg.lake_root, "_metrics", "*")
+            ).dropDuplicates(["table", "batch_id", "bucket"])
         )

@@ -42,7 +42,7 @@ def register_metrics(
     import os
 
     df = (
-        spark.read.parquet(os.path.join(cfg.lake_root, "_metrics"))
+        spark.read.parquet(os.path.join(cfg.lake_root, "_metrics", "*"))
         .dropDuplicates(["table", "batch_id", "bucket"])
     )
     df.createOrReplaceTempView(name)
