@@ -78,14 +78,24 @@ FROM s ORDER BY doc_id
 
 
 def q_token_count(spark, sf_dir):
-    """Whitespace + BPE-ish token counting (word pieces of <=4 chars)."""
+    """Token counting: whitespace tokens, BPE-ish regex word pieces
+    (alnum runs / punctuation as separate tokens), and a chars/4 subword
+    estimate."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    # BPE-ish proxy: ceil(word_len / 4) summed = chars_without_spaces/4 rounded up per word
+    # BPE-ish regex: alphanumeric runs and single punctuation marks both
+    # count as tokens (GPT-style pre-tokenization shape)
+    pieces = F.size(
+        F.filter(
+            F.split(F.regexp_replace(F.col("text"), r"([^\sa-zA-Z0-9])", r" $1 "), r"\s+"),
+            lambda x: F.length(x) > 0,
+        )
+    )
     chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
     return d.select(
         "doc_id",
         toks.cast("long").alias("n_tokens"),
+        pieces.cast("long").alias("n_re_pieces"),
         chars.cast("long").alias("n_chars_nospace"),
         F.ceil(chars / F.lit(4.0)).cast("long").alias("n_bpe_est"),
     ).orderBy("doc_id")
@@ -94,6 +104,7 @@ def q_token_count(spark, sf_dir):
 SQL_TOKEN_COUNT = r"""
 SELECT doc_id,
        CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(string_split_regex(regexp_replace(text, '([^\sa-zA-Z0-9])', ' \1 ', 'g'), '\s+'), x -> length(x) > 0)) AS BIGINT) AS n_re_pieces,
        CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS n_chars_nospace,
        CAST(ceil(length(regexp_replace(text, '\s+', '', 'g')) / 4.0) AS BIGINT) AS n_bpe_est
 FROM documents ORDER BY doc_id
@@ -147,17 +158,36 @@ FROM s ORDER BY doc_id
 
 
 def q_fingerprint(spark, sf_dir):
-    """Document fingerprint: md5 of whitespace-normalized lowercase text
-    (rolling-hash fingerprinting's portable stand-in)."""
+    """Document fingerprinting: a true rolling polynomial hash over the
+    normalized text (the portable hash, identical in both engines) plus the
+    md5 digest of the normalization."""
+    from ._portable import spark_poly_hash
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
-    return d.select("doc_id", F.md5(norm).alias("fingerprint")).orderBy("doc_id")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fingerprint"),
+        F.expr(
+            spark_poly_hash(
+                r"lower(trim(regexp_replace(text, '\\s+', ' ')))"
+            )
+        ).alias("rolling_hash"),
+    ).orderBy("doc_id")
 
 
-SQL_FINGERPRINT = r"""
-SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fingerprint
+def sql_fingerprint() -> str:
+    from ._portable import duck_poly_hash
+
+    norm = r"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+    return rf"""
+SELECT doc_id, md5({norm}) AS fingerprint,
+       {duck_poly_hash(norm)} AS rolling_hash
 FROM documents ORDER BY doc_id
 """
+
+
+SQL_FINGERPRINT = None  # built lazily (needs helper)
 
 
 def registry() -> dict:
@@ -165,5 +195,5 @@ def registry() -> dict:
         "lang_id": (q_lang_id, sql_lang_id()),
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "quality_score": (q_quality_score, sql_quality_score()),
-        "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+        "doc_fingerprint": (q_fingerprint, sql_fingerprint()),
     }
