@@ -350,6 +350,39 @@ FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
 """
 
 
+def q_lsn_gaps(spark, sf_dir):
+    """O1: LSN continuity audit — drop a deterministic subset of the log and
+    report the observed gaps (the batch analog of the streaming gap monitor;
+    the reference asserts sequential ids and crashes, ``cdc/sources/
+    __init__.py:91-92`` — the engine surfaces gaps as data)."""
+    from pyspark.sql import Window
+
+    chg = change_view(spark, sf_dir).filter(
+        F.pmod(F.floor(F.col("lsn") / 100), F.lit(7)) != 3
+    )
+    w = Window.orderBy("lsn")
+    prev = F.lag("lsn").over(w)
+    return (
+        chg.select("lsn", prev.alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("lsn") > F.col("prev") + 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("lsn") - 1).alias("gap_end"),
+        )
+        .orderBy("gap_start")
+    )
+
+
+SQL_LSN_GAPS = f"""
+WITH chg AS ({CHG_SQL}),
+kept AS (SELECT lsn FROM chg WHERE (CAST(floor(lsn / 100) AS BIGINT) % 7) <> 3),
+g AS (SELECT lsn, lag(lsn) OVER (ORDER BY lsn) AS prev FROM kept)
+SELECT prev + 1 AS gap_start, lsn - 1 AS gap_end
+FROM g WHERE prev IS NOT NULL AND lsn > prev + 1
+ORDER BY gap_start
+"""
+
+
 def q_lineage_metrics(spark, sf_dir):
     """C5: per-bucket lineage of a deduped batch — applied LSN range +
     upsert/delete counts (the queryable metrics table's shape)."""
@@ -402,6 +435,7 @@ _ENGINE_QUERIES = {
     "content_sha256": (q_content_sha256, SQL_SHA256),
     "payload_json_extract": (q_payload_json_extract, SQL_JSON_EXTRACT),
     "lineage_metrics": (q_lineage_metrics, SQL_LINEAGE),
+    "lsn_gaps": (q_lsn_gaps, SQL_LSN_GAPS),
 }
 
 
