@@ -5,10 +5,12 @@ through the real engine, then sha256-compared row-for-row to the oracle."""
 
 import os
 
+import pytest
+
 from cdc_spark.config import EngineConfig
 from cdc_spark.loggen import change_log, write_segments
 from cdc_spark.oracle import assert_matches, replay
-from cdc_spark.stream import run_to_completion
+from cdc_spark.stream import run_to_completion, start_stream
 
 CHANGES = {
     20_000: {"action": "add", "column": "stars", "type": "long"},
@@ -41,6 +43,12 @@ def test_torture_full_stack(spark, tmpdir_factory_clean):
         salt=4,
         max_files_per_trigger=3,
     )
+    # crash after two microbatches, then resume from checkpoint
+    q, _ = start_stream(
+        spark, os.path.join(root, "wal"), cfg, fail_after_batches=2
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
     applier = run_to_completion(spark, os.path.join(root, "wal"), cfg)
     lake = applier.lake_for("repos")
 
