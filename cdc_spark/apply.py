@@ -327,9 +327,20 @@ class CdcApply:
                 for r in bstats
             ] or [(table, batch_id, None, None, None, 0, 0, info["version"],
                    False, latency)]
-        self.spark.createDataFrame(rows, METRICS_DDL).coalesce(1).write.mode(
-            "append"
-        ).parquet(path)
+        # O(n_buckets) rows: write driver-side (pyarrow) — a Spark write job
+        # per batch just for lineage rows is pure fixed cost
+        import pandas as pd
+
+        os.makedirs(path, exist_ok=True)
+        pd.DataFrame(
+            rows,
+            columns=["table", "batch_id", "bucket", "min_lsn", "max_lsn",
+                     "upserts", "deletes", "lake_version", "skipped",
+                     "commit_latency_s"],
+        ).astype(
+            {"bucket": "Int32", "min_lsn": "Int64", "max_lsn": "Int64",
+             "upserts": "Int64", "deletes": "Int64"}
+        ).to_parquet(os.path.join(path, f"b{batch_id}-{int(t0 * 1000)}.parquet"))
 
     def metrics(self) -> DataFrame:
         """Queryable lineage/metrics table. At-least-once appended (a crash
