@@ -64,7 +64,7 @@ def sql_lang_id() -> str:
     score_exprs = {
         lg: " + ".join(_sql_hits(p, w) for w in _STOPWORDS[lg]) for lg in langs
     }
-    selects = ", ".join(f"({score_exprs[lg]}) AS s_{lg}" for lg in langs)
+    selects = ", ".join(f"CAST({score_exprs[lg]} AS BIGINT) AS s_{lg}" for lg in langs)
     best = "greatest(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
     guess = "CASE "
     for lg in langs:

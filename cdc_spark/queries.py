@@ -147,7 +147,7 @@ WITH chg AS ({CHG_SQL}),
 dup AS (SELECT * FROM chg UNION ALL SELECT * FROM chg WHERE lsn % 5 = 0),
 c AS (SELECT DISTINCT ON (lsn) * FROM dup)
 SELECT count(*) AS n_rows,
-       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS n_deletes
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
 FROM c
 """
 
@@ -410,8 +410,8 @@ last AS (
   WHERE rn = 1)
 SELECT CAST((length(repo) * 7 + length(path) * 13 + lsn) % 16 AS INT) AS bucket,
        min(lsn) AS min_lsn, max(lsn) AS max_lsn,
-       sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS upserts,
-       sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS deletes
+       CAST(sum(CASE WHEN op <> 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS upserts,
+       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes
 FROM last GROUP BY 1 ORDER BY 1
 """
 
