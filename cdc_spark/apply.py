@@ -29,7 +29,13 @@ from pyspark.sql import functions as F
 
 from .config import BASE_FIELDS, DML_OPS, EngineConfig
 from .dedup import lww_dedup
-from .lake import LakeTable, bucket_expr, sql_type
+from .lake import (
+    LakeTable,
+    bucket_expr,
+    chain_for_column,
+    fold_cast_expr,
+    sql_type,
+)
 from .parse import BASE_COLUMNS
 
 METRICS_DDL = (
@@ -90,6 +96,16 @@ class CdcApply:
         """Apply one microbatch of envelope rows. Returns per-table commit
         info. Safe to re-run with the same batch_id (idempotent)."""
         t0 = time.time()
+        # begin/commit brackets, generic frames, and any row that decoded
+        # without a routable table (the reference's B|/C| bodies carry no
+        # 'table' key) are dropped BEFORE the control groupBy — one malformed
+        # or parity-format frame must never poison the batch (a foreachBatch
+        # exception replays on restart, i.e. a crash loop). Mirrors the
+        # reference's GenericMessage fallback (postgres_logical.py:76-80).
+        df = df.filter(
+            F.col("table").isNotNull()
+            & ~F.col("op").isin("begin", "commit", "generic")
+        )
         df = df.persist()
         try:
             # control plane: ONE aggregation job, O(tables) result
@@ -161,11 +177,10 @@ class CdcApply:
             history[c_lsn] = c_json
             new_history = True
         all_changes = sorted(history.items())
+        parsed_changes = [json.loads(c) for _, c in all_changes]
         epochs = [(-1, lake.schema_fields(0))]  # (lower_lsn, fields)
-        for c_lsn, c_json in all_changes:
-            epochs.append(
-                (c_lsn, evolve_fields(epochs[-1][1], json.loads(c_json), key))
-            )
+        for (c_lsn, _), ch in zip(all_changes, parsed_changes):
+            epochs.append((c_lsn, evolve_fields(epochs[-1][1], ch, key)))
         final_fields = epochs[-1][1]
         changes = new_history  # did the schema state move this batch?
 
@@ -202,6 +217,7 @@ class CdcApply:
             if ub is not None:
                 sub = sub.filter(F.col("lsn") < F.lit(ub))
             epoch_types = dict(fields)
+            tail = parsed_changes[i:]  # changes applied after this epoch
             is_del = F.col("op") == "delete"
             exprs = [F.col(f"`{k}`") for k in key]
             for name, t_final in final_fields:
@@ -213,13 +229,17 @@ class CdcApply:
                     raw_sql = (
                         f"`{name}`" if name in base else f"element_at(extra, '{name}')"
                     )
-                    t_epoch = epoch_types[name]
                     # interpret the raw string under the epoch's type, then
-                    # carry it into the batch-final type (retype = try_cast)
-                    e = F.expr(
-                        f"try_cast(try_cast({raw_sql} AS {sql_type(t_epoch)}) "
-                        f"AS {sql_type(t_final)})"
+                    # fold every subsequent retype STEPWISE into the final
+                    # type — a direct epoch->final cast diverges from the
+                    # oracle on lossy intermediates ('007'->7->'7')
+                    mode, casts = chain_for_column(
+                        name, tail, True, [epoch_types[name]]
                     )
+                    if mode == "value":
+                        e = F.expr(fold_cast_expr(raw_sql, casts, t_final))
+                    else:  # dropped after this epoch (re-add -> NULL)
+                        e = F.lit(None).cast(sql_type(t_final))
                 # tombstones carry no payload
                 exprs.append(F.when(~is_del, e).alias(name))
             exprs.append(F.col("lsn").alias("_lsn"))

@@ -13,11 +13,17 @@ SEED = 7
 
 
 def spark_poly_hash(expr: str) -> str:
-    """Spark SQL expression string: polynomial hash of a string column."""
-    return (
+    """Spark SQL expression string: polynomial hash of a string column.
+
+    Empty strings are guarded explicitly: Spark's ``sequence(1, 0)`` yields
+    ``[1, 0]`` (auto-descending) while DuckDB's ``range(1, 1)`` is empty, so
+    without the CASE the engines diverge (6727 vs 7) on empty or
+    whitespace-only text."""
+    agg = (
         f"aggregate(sequence(1, length({expr})), CAST({SEED} AS BIGINT), "
         f"(acc, i) -> (acc * {MULT} + ascii(substring({expr}, i, 1))) % {MOD})"
     )
+    return f"(CASE WHEN length({expr}) = 0 THEN CAST({SEED} AS BIGINT) ELSE {agg} END)"
 
 
 def duck_poly_hash(expr: str) -> str:

@@ -43,6 +43,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,22 +76,95 @@ def bucket_expr(key: tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
-def project_to(df: DataFrame, src_fields: list, dst_fields: list) -> DataFrame:
+def chain_for_column(
+    name: str, tail: list[dict], present: bool, start_casts: list[str]
+) -> tuple[str, list[str]]:
+    """Walk the schema-change tail (changes applied AFTER a value was stored)
+    for one column and return how to materialize it under the head schema:
+
+    - ``("value", casts)``  -- fold ``casts`` onto the stored column value
+    - ``("extra", casts)``  -- column added later; resurrect the raw string
+      from ``_extra`` and fold ``casts`` (first cast = the add type)
+    - ``("null", [])``      -- column was dropped after storage (a re-add
+      gives pre-existing rows NULL, matching the LSN-ordered oracle)
+    - ``("absent", [])``    -- no lineage found (caller falls back)
+
+    Retype chains fold STEPWISE (string->long->string turns '007' into '7',
+    never '007') so lazy projection byte-matches the oracle's per-event
+    ``convert`` replay even through lossy intermediate types."""
+    mode = "value" if present else "absent"
+    casts = list(start_casts)
+    for ch in tail:
+        if ch.get("column") != name:
+            continue
+        action = ch["action"]
+        if action == "retype":
+            if mode in ("value", "extra"):
+                casts.append(ch["type"])
+        elif action == "drop":
+            mode, casts = "gone", []
+        elif action == "add":
+            if mode == "gone":
+                mode = "null"
+            elif mode == "absent":
+                mode, casts = "extra", [ch.get("type", "string")]
+    if mode == "gone":
+        mode = "null"
+    return mode, casts
+
+
+def fold_cast_expr(raw_sql: str, casts: list[str], final_type: str) -> str:
+    """Nest try_casts for each chain step; guarantee the final type."""
+    expr = raw_sql
+    for t in casts:
+        expr = f"try_cast({expr} AS {sql_type(t)})"
+    if not casts or casts[-1] != final_type:
+        expr = f"try_cast({expr} AS {sql_type(final_type)})"
+    return expr
+
+
+def project_to(
+    df: DataFrame,
+    src_fields: list,
+    dst_fields: list,
+    changes_tail: list[dict] | None = None,
+) -> DataFrame:
     """Project a frame carrying ``src_fields`` (+META) into ``dst_fields``:
     missing columns -> NULL, retypes -> try_cast, drops -> pruned. Column
-    pruning + casts stay in the parquet scan / codegen (no shuffle)."""
+    pruning + casts stay in the parquet scan / codegen (no shuffle).
+
+    ``changes_tail`` is the ordered list of schema-change dicts applied
+    between when these rows were written and the target schema; with it the
+    projection folds the full per-column cast chain stepwise (see
+    ``chain_for_column``). Without it (legacy files carrying no change
+    index) the projection is a direct stored-type -> target-type cast."""
     src = dict(src_fields)
     exprs = []
     for name, typ in dst_fields + META_FIELDS:
-        if name in src or name in _META_NAMES:
+        if name in _META_NAMES:
             exprs.append(f"try_cast(`{name}` AS {sql_type(typ)}) AS `{name}`")
-        else:
-            # column added after this file was written: resurrect the value
-            # from the row's unconsumed payload residue if it carried one
-            exprs.append(
-                f"try_cast(element_at(`_extra`, '{name}') AS {sql_type(typ)}) "
-                f"AS `{name}`"
-            )
+            continue
+        if changes_tail is None:
+            if name in src:
+                exprs.append(f"try_cast(`{name}` AS {sql_type(typ)}) AS `{name}`")
+            else:
+                # column added after this file was written: resurrect the
+                # value from the row's unconsumed payload residue
+                exprs.append(
+                    f"try_cast(element_at(`_extra`, '{name}') AS {sql_type(typ)}) "
+                    f"AS `{name}`"
+                )
+            continue
+        mode, casts = chain_for_column(name, changes_tail, name in src, [])
+        if mode == "value":
+            e = fold_cast_expr(f"`{name}`", casts, typ)
+        elif mode == "extra":
+            e = fold_cast_expr(f"element_at(`_extra`, '{name}')", casts, typ)
+        elif mode == "null":
+            e = f"CAST(NULL AS {sql_type(typ)})"
+        else:  # no lineage in the tail: legacy resurrect
+            e = f"try_cast(element_at(`_extra`, '{name}') AS {sql_type(typ)})"
+        exprs.append(f"{e} AS `{name}`")
     return df.selectExpr(*exprs)
 
 
@@ -213,24 +287,36 @@ class LakeTable:
         raise KeyError(f"unknown schema_id {sid}")
 
     # -------------------------------------------------------------- reading
+    def _parsed_changes(self, meta: dict | None = None) -> list[dict]:
+        pairs = (meta or self._meta).get("schema_changes", [])
+        return [json.loads(c) for _, c in pairs]
+
     def _read_files(
-        self, files: list[dict], target_fields: list[tuple[str, str]]
+        self,
+        files: list[dict],
+        target_fields: list[tuple[str, str]],
+        changes: list[dict] | None = None,
     ) -> DataFrame | None:
         """Read manifest files projected to ``target_fields`` (+META).
-        Files are grouped by schema_id so each group is one pruned,
-        pushdown-friendly parquet scan."""
+        Files are grouped by (schema_id, change_idx) so each group is one
+        pruned, pushdown-friendly parquet scan whose per-column cast chain
+        (``changes[change_idx:]``) is folded into the scan projection."""
         if not files:
             return None
-        by_sid: dict[int, list[str]] = {}
+        by_grp: dict[tuple, list[str]] = {}
         for f in files:
-            by_sid.setdefault(f["schema_id"], []).append(
-                os.path.join(self.root, f["path"])
-            )
+            grp = (f["schema_id"], f.get("change_idx"))
+            by_grp.setdefault(grp, []).append(os.path.join(self.root, f["path"]))
         parts = []
-        for sid, paths in by_sid.items():
+        for (sid, cidx), paths in by_grp.items():
             src_fields = self.schema_fields(sid)
+            tail = (
+                changes[cidx:]
+                if changes is not None and cidx is not None
+                else None
+            )
             df = self.spark.read.parquet(*paths)
-            parts.append(project_to(df, src_fields, target_fields))
+            parts.append(project_to(df, src_fields, target_fields, tail))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
@@ -253,7 +339,9 @@ class LakeTable:
             finally:
                 self._meta = saved
         fields = self.schema_fields()
-        df = self._read_files(self._meta["files"], fields)
+        df = self._read_files(
+            self._meta["files"], fields, changes=self._parsed_changes()
+        )
         if df is None:
             ddl = ", ".join(
                 f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
@@ -328,6 +416,15 @@ class LakeTable:
             else cur["truncate_lsn"]
         )
         new_version = cur["version"] + 1
+        # the post-commit change history: old files are projected THROUGH it
+        # (stepwise retype folding) and new files are stamped with its length
+        history = (
+            new_schema_changes
+            if new_schema_changes is not None
+            else cur.get("schema_changes", [])
+        )
+        parsed_changes = [json.loads(c) for _, c in history]
+        change_idx = len(history)
         files: list[dict] = []
         rewritten, affected = 0, []
 
@@ -353,7 +450,7 @@ class LakeTable:
         if affected:
             touched = [f for f in cur["files"] if f["bucket"] in affected]
             untouched = [f for f in cur["files"] if f["bucket"] not in affected]
-            old = self._read_files(touched, final_fields)
+            old = self._read_files(touched, final_fields, changes=parsed_changes)
             key = list(self.key)
             if old is not None:
                 old = old.withColumn(
@@ -403,7 +500,10 @@ class LakeTable:
                     .repartition(max(len(affected), 1), "_bucket")
                     .sortWithinPartitions("_bucket", *key)
                 )
-            data_rel = f"data/v{new_version}"
+            # per-attempt unique staging dir: a writer that loses the manifest
+            # race must leave only orphan files, never clobber the winner's
+            # already-published data (its files are GC'd by expire_snapshots)
+            data_rel = f"data/v{new_version}-{uuid.uuid4().hex[:8]}"
             out_dir = os.path.join(self.root, data_rel)
             (
                 merged.write.partitionBy("_bucket")
@@ -421,6 +521,7 @@ class LakeTable:
                                 "path": f"{data_rel}/{bdir}/{part}",
                                 "bucket": bucket,
                                 "schema_id": schema_id,
+                                "change_idx": change_idx,
                             }
                         )
             rewritten = len(files)
@@ -467,7 +568,8 @@ class LakeTable:
         ``send_feedback``, ``postgres_logical.py:186-198``)."""
         cur = self._meta
         fields = self.schema_fields()
-        df = self._read_files(cur["files"], fields)
+        parsed_changes = self._parsed_changes()
+        df = self._read_files(cur["files"], fields, changes=parsed_changes)
         if df is None:
             return {"version": cur["version"], "compacted": 0}
         df = df.filter(F.col("_lsn") > F.lit(cur["truncate_lsn"]))
@@ -477,7 +579,7 @@ class LakeTable:
             )
         df = df.withColumn("_bucket", bucket_expr(self.key, self.n_buckets))
         new_version = cur["version"] + 1
-        data_rel = f"data/v{new_version}"
+        data_rel = f"data/v{new_version}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, data_rel)
         (
             df.repartition(self.n_buckets, "_bucket")
@@ -495,7 +597,8 @@ class LakeTable:
                 if part.endswith(".parquet"):
                     files.append(
                         {"path": f"{data_rel}/{bdir}/{part}", "bucket": bucket,
-                         "schema_id": cur["schema_id"]}
+                         "schema_id": cur["schema_id"],
+                         "change_idx": len(parsed_changes)}
                     )
         meta = dict(cur)
         meta.update(

@@ -54,7 +54,12 @@ def split_frame(df: DataFrame, value: str = "value") -> DataFrame:
     tag = F.substring(v, 1, 2)
     esc_table = F.regexp_extract(v, _TABLE_RE, 1)
     is_m = tag == F.lit("M|")
-    table = F.when(is_m, F.regexp_replace(esc_table, r"\\(.)", r"$1"))
+    # unescape ONLY the two reference escapes (\\ -> \ and \| -> |); other
+    # backslash sequences (e.g. a table literally named 'a\nb') pass through
+    # untouched, exactly like the reference's byte parser
+    # (postgres_logical.py:56-68) — stripping every escaped pair would route
+    # foreign frames to a different table than the reference would.
+    table = F.when(is_m, F.regexp_replace(esc_table, r"\\([\\|])", r"$1"))
     # body starts after 'M|' + esc_table + '|'
     m_body = v.substr(F.length(esc_table) + F.lit(4), F.length(v))
     frame_op = (
