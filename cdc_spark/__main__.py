@@ -66,9 +66,10 @@ def main(argv: list[str] | None = None) -> int:
     f.add_argument("--kafka-bootstrap")
     f.add_argument("--topic", default="cdc")
 
-    s = sub.add_parser("snapshot", help="export lake live view as snapshot dir")
+    s = sub.add_parser("snapshot", help="export lake live view(s) as snapshot dir")
     s.add_argument("--lake", required=True)
-    s.add_argument("--table", default="repos")
+    s.add_argument("--table", dest="tables", action="append", default=None,
+                   help="repeatable; one coordinated snapshot over all")
     s.add_argument("--out", required=True)
     s.add_argument("--snapshot-id", required=True)
     s.add_argument("--product", default="cdc")
@@ -135,9 +136,12 @@ def main(argv: list[str] | None = None) -> int:
             from cdc_spark.lake import LakeTable
             from cdc_spark.snapshot import export_csv
 
-            lake = LakeTable(spark, os.path.join(args.lake, args.table))
+            tables = args.tables or ["repos"]
+            lakes = {
+                t: LakeTable(spark, os.path.join(args.lake, t)) for t in tables
+            }
             dest = export_csv(
-                lake, args.out, snapshot_id=args.snapshot_id, product=args.product
+                lakes, args.out, snapshot_id=args.snapshot_id, product=args.product
             )
             sys.stdout.write(dest + "\n")
         elif args.cmd == "loggen":

@@ -259,10 +259,17 @@ class CdcApply:
             projected = projected.unionByName(p)
 
         # -- LWW dedup (A2) + merge (E1) under one persist
+        cached_winners = None
         if self.cfg.dedup_narrow:
-            from .dedup import lww_dedup_narrow
+            from .dedup import lww_dedup_auto
 
-            deduped = lww_dedup_narrow(projected, key=key, order_col="_lsn")
+            deduped, _strategy, cached_winners = lww_dedup_auto(
+                projected,
+                key=key,
+                order_col="_lsn",
+                salt=self.cfg.salt,
+                broadcast_max_rows=self.cfg.dedup_broadcast_max_rows,
+            )
         else:
             deduped = lww_dedup(
                 projected, key=key, order_col="_lsn", salt=self.cfg.salt
@@ -303,6 +310,8 @@ class CdcApply:
             self._write_metrics(table, batch_id, bstats, info, t0)
         finally:
             deduped.unpersist()
+            if cached_winners is not None:
+                cached_winners.unpersist()
         return info
 
     # ---------------------------------------------------------- maintenance

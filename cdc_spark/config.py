@@ -63,8 +63,13 @@ class EngineConfig:
     #: broadcast semi-join (+33% ingest at 0.5-1 KB payloads, measured).
     #: Default ON — the target workload is source-code content, where
     #: payload bytes dominate. Turn OFF for tiny payloads with mostly-unique
-    #: keys per batch, or batches whose winner set exceeds broadcast memory.
+    #: keys per batch. Batches whose winner set exceeds
+    #: ``dedup_broadcast_max_rows`` auto-fall back to the wide reduce.
     dedup_narrow: bool = True
+    #: winner-set broadcast budget for the narrow dedup; above it the apply
+    #: falls back to the wide max_by reduce (same guard as the merge's
+    #: ``broadcast_max_rows``)
+    dedup_broadcast_max_rows: int = 5_000_000
     #: run lake maintenance every N committed batches (0 = off): compaction
     #: (drop dead rows, consolidate bucket files) + snapshot expiry keeping
     #: the newest ``expire_keep`` manifests. Cheap O(1) truncates and

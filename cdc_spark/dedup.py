@@ -79,6 +79,41 @@ def lww_dedup_narrow(
     return out.dropDuplicates(list(key))
 
 
+def lww_dedup_auto(
+    df: DataFrame,
+    key: tuple[str, ...] = ("repo", "path"),
+    order_col: str = "lsn",
+    *,
+    salt: int = 1,
+    broadcast_max_rows: int = 5_000_000,
+) -> tuple[DataFrame, str, DataFrame | None]:
+    """Narrow LWW dedup with a broadcast-budget guard.
+
+    The narrow variant broadcasts the per-key winner set; a batch with more
+    distinct keys than fits executor memory would kill the job. This wrapper
+    counts the winner set first (a narrow (key, lsn)-only job — payload bytes
+    never move) and falls back to the wide ``lww_dedup`` reduce when winners
+    exceed ``broadcast_max_rows`` — the same auto-pick discipline as the
+    merge's ``batch_rows``/``broadcast_max_rows`` strategy switch.
+
+    Returns ``(deduped, strategy, cached)`` where strategy is ``"narrow"``
+    or ``"wide"`` and ``cached`` is the persisted winner frame the caller
+    must unpersist after materializing the result (None on the wide path).
+    """
+    winners = (
+        df.select(*key, order_col)
+        .groupBy(*key)
+        .agg(F.max(order_col).alias(order_col))
+        .persist()
+    )
+    n_winners = winners.count()
+    if n_winners <= broadcast_max_rows:
+        out = df.join(F.broadcast(winners), [*key, order_col], "left_semi")
+        return out.dropDuplicates(list(key)), "narrow", winners
+    winners.unpersist()
+    return lww_dedup(df, key=key, order_col=order_col, salt=salt), "wide", None
+
+
 def collapse_duplicate_lsns(df: DataFrame, order_col: str = "lsn") -> DataFrame:
     """Drop duplicate deliveries of the same LSN (A3). Subsumed by
     ``lww_dedup`` for keyed DML; needed standalone only for control events

@@ -23,7 +23,7 @@ MEDIA_DDL = (
 
 FEATURES_DDL = (
     "doc_id BIGINT, media_type STRING, n_bytes BIGINT, "
-    "width INT, height INT, mean_byte DOUBLE, frames INT"
+    "width INT, height INT, mean_cp_x1e4 BIGINT, frames INT"
 )
 
 HAS_REAL_DECODER = False  # PIL / torchaudio etc. not available here
@@ -32,16 +32,22 @@ HAS_REAL_DECODER = False  # PIL / torchaudio etc. not available here
 def _fake_decode(payload: bytes) -> dict:
     """Deterministic stand-in for a real media decode. A real implementation
     raises NotImplementedError without the codec libs; this fake derives
-    stable pseudo-features from the bytes so the distributed plumbing can be
-    exercised and asserted."""
+    stable pseudo-features from the payload so the distributed plumbing can
+    be exercised and asserted.
+
+    The fake is defined in PORTABLE integer arithmetic over the decoded
+    text's code points (no floats, no byte indexing) so the Arrow-batched
+    mapInPandas output can be hash-compared against a plain SQL oracle —
+    the driver's strongest check runs against the REAL UDF path."""
     if HAS_REAL_DECODER:  # pragma: no cover
         raise NotImplementedError("real decoder not wired in this container")
-    n = len(payload)
-    s = sum(payload[:256])
+    cps = [ord(c) for c in payload.decode("utf-8")]
+    n = len(cps)
+    s256 = sum(cps[:256])
     return {
-        "width": (s % 64) + 1,
-        "height": ((s // 64) % 64) + 1,
-        "mean_byte": (sum(payload) / n) if n else 0.0,
+        "width": (s256 % 64) + 1,
+        "height": ((s256 // 64) % 64) + 1,
+        "mean_cp_x1e4": (sum(cps) * 10000) // n if n else 0,
         "frames": (n % 30) + 1,
     }
 
@@ -76,7 +82,9 @@ def extract_features(media: DataFrame) -> DataFrame:
                     "n_bytes": pdf["payload"].map(len).astype("int64"),
                     "width": feats.map(lambda f: f["width"]).astype("int32"),
                     "height": feats.map(lambda f: f["height"]).astype("int32"),
-                    "mean_byte": feats.map(lambda f: f["mean_byte"]),
+                    "mean_cp_x1e4": feats.map(
+                        lambda f: f["mean_cp_x1e4"]
+                    ).astype("int64"),
                     "frames": feats.map(lambda f: f["frames"]).astype("int32"),
                 }
             )
@@ -85,10 +93,39 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Driver entry (rows-only check: the decode fake is not SQL-portable,
-    but n_bytes is — see q_multimodal_bytes for the oracled variant)."""
+    """Driver entry — the REAL Arrow-batched mapInPandas path, oracled: the
+    fake decode is pure integer arithmetic over code points, so DuckDB can
+    mirror it exactly (SQL_MULTIMODAL_FEATURES)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return extract_features(media_table(docs)).orderBy("doc_id")
+
+
+# the portable fake-decode mirrored in DuckDB SQL: code-point sums / integer
+# division only — bit-exact against the Python UDF
+_CP = "list_transform(range(1, length(text) + 1), i -> ord(substring(text, i, 1)))"
+_CP256 = (
+    "list_transform(range(1, least(length(text), 256) + 1), "
+    "i -> ord(substring(text, i, 1)))"
+)
+
+SQL_MULTIMODAL_FEATURES = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+         length(text) AS n_cp,
+         COALESCE(list_sum({_CP256}), 0) AS s256,
+         COALESCE(list_sum({_CP}), 0) AS s_all
+  FROM documents)
+SELECT doc_id, media_type, n_bytes,
+       CAST(s256 % 64 + 1 AS INT) AS width,
+       CAST((s256 // 64) % 64 + 1 AS INT) AS height,
+       CAST(CASE WHEN n_cp = 0 THEN 0 ELSE (s_all * 10000) // n_cp END AS BIGINT)
+         AS mean_cp_x1e4,
+       CAST(n_cp % 30 + 1 AS INT) AS frames
+FROM m ORDER BY doc_id
+"""
 
 
 def q_multimodal_bytes(spark, sf_dir):
@@ -117,6 +154,6 @@ FROM documents ORDER BY doc_id
 
 def registry() -> dict:
     return {
-        "multimodal_features": (q_multimodal_features, None),  # rows-only
+        "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
     }

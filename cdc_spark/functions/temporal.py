@@ -34,14 +34,21 @@ def q_asof_join(spark, sf_dir):
     j = e.join(o, ["user_id"], "left").filter(
         F.col("o_orderdate").isNull() | (F.col("o_orderdate") <= F.col("ts"))
     )
+    # deterministic tie-break: latest (o_orderdate, o_orderkey) — struct
+    # ordering is lexicographic, so equal-date orders resolve by key on
+    # every engine/strategy identically
+    ord_key = F.struct(
+        F.coalesce(
+            F.col("o_orderdate").cast("timestamp").cast("long"), F.lit(-(2**62))
+        ).alias("t"),
+        F.coalesce(F.col("o_orderkey"), F.lit(-(2**62))).alias("k"),
+    )
     picked = (
         j.groupBy("event_id")
         .agg(
             F.max_by(
                 F.struct("user_id", "ts", "o_orderkey", "o_orderdate", "o_totalprice"),
-                F.coalesce(
-                    F.col("o_orderdate").cast("timestamp").cast("long"), F.lit(-(2**62))
-                ),
+                ord_key,
             ).alias("s")
         )
         .select("event_id", F.col("s.*"))
@@ -69,7 +76,8 @@ SQL_ASOF = """
 WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_id < 2000),
 j AS (
   SELECT e.event_id, e.user_id, e.ts, o.o_orderkey, o.o_orderdate, o.o_totalprice,
-         row_number() OVER (PARTITION BY e.event_id ORDER BY o.o_orderdate DESC) rn
+         row_number() OVER (PARTITION BY e.event_id
+                            ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) rn
   FROM e JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
 SELECT e.event_id, e.user_id,
        strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS ts_s,
@@ -131,34 +139,58 @@ FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
 """
 
 
+_PD_NULL_DTYPE = {
+    "bigint": "Int64", "int": "Int32", "double": "float64",
+    "timestamp": "datetime64[us]", "timestamp_ntz": "datetime64[us]",
+    "string": "object",
+}
+
+
 def asof_join_pandas(events, orders, *, on="user_id", left_ts="ts",
-                     right_ts="o_orderdate"):
+                     right_ts="o_orderdate", right_order=()):
     """The applyInPandas alternative for wide per-key fan-out: co-group both
     sides by key, run ``pd.merge_asof`` per group inside Arrow batches. Use
     when one key can have so many right-side rows that the relational range
-    join's intermediate explodes; data moves once (the cogroup shuffle) and
-    the per-group merge is O(n log n) instead of O(n_left x n_right)."""
+    join's intermediate explodes (a hot key with 10^4 orders turns the range
+    join into 10^8 intermediate rows); here data moves once (the cogroup
+    shuffle) and the per-group merge is O(n log n).
+
+    ``right_order`` breaks ties among equal ``right_ts`` rows (sorted
+    ascending, the LAST row wins — i.e. the max of the tie-break columns),
+    matching the relational strategy's max_by struct ordering so both
+    strategies are result-identical and oracle-able."""
     import pandas as pd
 
     out_fields = [f"{c.name} {c.dataType.simpleString()}" for c in events.schema]
-    out_fields += [
-        f"{c.name} {c.dataType.simpleString()}"
-        for c in orders.schema
-        if c.name != on
-    ]
+    right_cols = [c for c in orders.schema if c.name != on]
+    out_fields += [f"{c.name} {c.dataType.simpleString()}" for c in right_cols]
     ddl = ", ".join(out_fields)
+    right_dtypes = {
+        c.name: _PD_NULL_DTYPE.get(c.dataType.simpleString(), "object")
+        for c in right_cols
+    }
+    int_cols = [
+        c.name for c in right_cols
+        if c.dataType.simpleString() in ("bigint", "int")
+    ]
 
     def merge(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
+        if le.empty:
+            out = le.copy()
+            for c, dt in right_dtypes.items():
+                out[c] = pd.Series([], dtype=dt)
+            return out
         le = le.sort_values(left_ts, kind="stable")
-        ri = ri.sort_values(right_ts, kind="stable")
         if ri.empty:
-            for c in ri.columns:
-                if c != on:
-                    le[c] = None
+            for c, dt in right_dtypes.items():
+                le[c] = pd.Series([None] * len(le), dtype=dt, index=le.index)
             return le
+        ri = ri.sort_values([right_ts, *right_order], kind="stable")
         m = pd.merge_asof(
             le, ri.drop(columns=[on]), left_on=left_ts, right_on=right_ts
         )
+        for c in int_cols:  # merge_asof floats unmatched ints; restore
+            m[c] = m[c].astype("Int64")
         return m
 
     return (
@@ -168,8 +200,84 @@ def asof_join_pandas(events, orders, *, on="user_id", left_ts="ts",
     )
 
 
+def asof_join_relational(events, orders, *, on="user_id", left_ts="ts",
+                         right_ts="o_orderdate", event_key="event_id",
+                         right_order=()):
+    """Generic relational as-of: key-bucketed range join + max_by reduce
+    (partial-aggregated — a hot key contributes one row per map task to the
+    exchange). ``right_order`` columns must be numeric (tie-break).
+    Left-as-of: events with no qualifying order keep NULL right columns."""
+    right_cols = [c for c in orders.columns if c != on]
+    j = events.join(orders, [on], "left").filter(
+        F.col(right_ts).isNull() | (F.col(right_ts) <= F.col(left_ts))
+    )
+    lo = F.lit(-(2**62))
+    ord_key = F.struct(
+        F.coalesce(F.col(right_ts).cast("timestamp").cast("long"), lo).alias("_t"),
+        *[
+            F.coalesce(F.col(c), lo).alias(f"_o{i}")
+            for i, c in enumerate(right_order)
+        ],
+    )
+    picked = (
+        j.groupBy(event_key)
+        .agg(F.max_by(F.struct(*right_cols), ord_key).alias("_s"))
+        .select(event_key, F.col("_s.*"))
+    )
+    return events.join(picked, event_key, "left")
+
+
+def asof_join(events, orders, *, on="user_id", left_ts="ts",
+              right_ts="o_orderdate", event_key="event_id", right_order=(),
+              max_fanout=10_000):
+    """Fan-out-aware strategy pick (same discipline as the lake merge's
+    ``batch_rows`` switch): probe the hottest key's right-side count — an
+    O(keys) aggregate reduced to ONE driver row — and route to the cogrouped
+    ``merge_asof`` when a skewed key would explode the range join's
+    |left/key| x |right/key| intermediate. Returns (DataFrame, strategy)."""
+    hot = orders.groupBy(on).count().agg(F.max("count").alias("m")).first()
+    if (hot["m"] or 0) > max_fanout:
+        out = asof_join_pandas(
+            events, orders, on=on, left_ts=left_ts, right_ts=right_ts,
+            right_order=right_order,
+        )
+        return out, "cogroup"
+    out = asof_join_relational(
+        events, orders, on=on, left_ts=left_ts, right_ts=right_ts,
+        event_key=event_key, right_order=right_order,
+    )
+    return out, "range_join"
+
+
+def q_asof_join_cogroup(spark, sf_dir):
+    """The cogrouped merge_asof strategy over the SAME probe set and oracle
+    as q_asof_join — the fan-out-proof path for skewed keys."""
+    e = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts")
+        .filter(F.col("event_id") < 2000)
+    )
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("user_id"), "o_orderkey", "o_orderdate",
+        "o_totalprice",
+    )
+    out = asof_join_pandas(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        right_order=("o_orderkey",),
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_s"),
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("o_date_s"),
+        F.round("o_totalprice", 2).alias("o_totalprice"),
+    ).orderBy("event_id")
+
+
 def registry() -> dict:
     return {
         "asof_join": (q_asof_join, SQL_ASOF),
+        "asof_join_cogroup": (q_asof_join_cogroup, SQL_ASOF),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
     }

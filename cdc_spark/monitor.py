@@ -22,6 +22,7 @@ from typing import Any, Iterable
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -82,6 +83,61 @@ def _gap_fn(
         prev = x
     state.update((prev,))
     yield pd.DataFrame(gaps, columns=["table", "gap_start", "gap_end"])
+
+
+def gap_audit(df: DataFrame, col: str = "lsn", n_buckets: int = 4096) -> DataFrame:
+    """Batch LSN-continuity audit with NO unpartitioned window.
+
+    The naive formulation (``lag`` over ``Window.orderBy(lsn)``) funnels the
+    entire log through one task — fine at sf0.1, a straggler/OOM at 100×.
+    Instead the LSN space is range-bucketed into at most ``n_buckets``
+    equal-width buckets:
+
+    1. intra-bucket gaps: ``lag`` over a window PARTITIONED by bucket —
+       every partition is ~|log|/n_buckets rows, fully parallel;
+    2. boundary gaps: a per-bucket (min, max) aggregate — at most
+       ``n_buckets`` rows — stitched by a broadcast non-equi self-join
+       (next non-empty bucket's min vs this bucket's max), which also
+       handles fully-empty buckets; no single-partition exchange anywhere
+       in the returned plan.
+
+    The O(1)-row bounds lookup runs as a separate driver-side job (the same
+    control-plane pattern as the merge's bucket listing — never O(rows))."""
+    from pyspark.sql import Window
+
+    bounds = df.agg(F.min(col).alias("lo"), F.max(col).alias("hi")).first()
+    spark = df.sparkSession
+    if bounds["lo"] is None:
+        return spark.createDataFrame([], "gap_start BIGINT, gap_end BIGINT")
+    lo, hi = int(bounds["lo"]), int(bounds["hi"])
+    width = max(1, -(-(hi - lo + 1) // n_buckets))  # ceil
+    kept = df.select(F.col(col).alias("lsn")).withColumn(
+        "_b", F.floor((F.col("lsn") - F.lit(lo)) / F.lit(width)).cast("long")
+    )
+    w = Window.partitionBy("_b").orderBy("lsn")
+    prev = F.lag("lsn").over(w)
+    intra = (
+        kept.select("lsn", prev.alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("lsn") > F.col("prev") + 1))
+        .select(
+            (F.col("prev") + 1).alias("gap_start"),
+            (F.col("lsn") - 1).alias("gap_end"),
+        )
+    )
+    stats = kept.groupBy("_b").agg(
+        F.min("lsn").alias("bmin"), F.max("lsn").alias("bmax")
+    )
+    nxt = (
+        stats.alias("a")
+        .join(F.broadcast(stats.alias("n")), F.col("n._b") > F.col("a._b"))
+        .groupBy(F.col("a._b").alias("_b"), F.col("a.bmax").alias("bmax"))
+        .agg(F.min(F.col("n.bmin")).alias("next_min"))
+    )
+    boundary = nxt.filter(F.col("next_min") > F.col("bmax") + 1).select(
+        (F.col("bmax") + 1).alias("gap_start"),
+        (F.col("next_min") - 1).alias("gap_end"),
+    )
+    return intra.unionByName(boundary)
 
 
 def lsn_gap_monitor(envelope: DataFrame) -> DataFrame:

@@ -354,23 +354,14 @@ def q_lsn_gaps(spark, sf_dir):
     """O1: LSN continuity audit — drop a deterministic subset of the log and
     report the observed gaps (the batch analog of the streaming gap monitor;
     the reference asserts sequential ids and crashes, ``cdc/sources/
-    __init__.py:91-92`` — the engine surfaces gaps as data)."""
-    from pyspark.sql import Window
+    __init__.py:91-92`` — the engine surfaces gaps as data). Range-bucketed:
+    no unpartitioned window (see monitor.gap_audit)."""
+    from .monitor import gap_audit
 
     chg = change_view(spark, sf_dir).filter(
         F.pmod(F.floor(F.col("lsn") / 100), F.lit(7)) != 3
     )
-    w = Window.orderBy("lsn")
-    prev = F.lag("lsn").over(w)
-    return (
-        chg.select("lsn", prev.alias("prev"))
-        .filter(F.col("prev").isNotNull() & (F.col("lsn") > F.col("prev") + 1))
-        .select(
-            (F.col("prev") + 1).alias("gap_start"),
-            (F.col("lsn") - 1).alias("gap_end"),
-        )
-        .orderBy("gap_start")
-    )
+    return gap_audit(chg, "lsn").orderBy("gap_start")
 
 
 SQL_LSN_GAPS = f"""

@@ -145,58 +145,94 @@ def snapshot_boundary_filter(df: DataFrame, lake: LakeTable) -> DataFrame:
 
 
 def export_csv(
-    lake: LakeTable,
+    lakes: LakeTable | dict[str, LakeTable],
     out_root: str,
     snapshot_id: str,
     product: str = "cdc",
     compress: bool = True,
+    columns: dict[str, list[dict]] | None = None,
 ) -> str:
-    """Dump the lake's live view as the reference's snapshot directory layout
-    (file_snapshot.py:34-119): metadata.json + tables/<t>.csv[.gz] + a
-    complete.json success marker written ONLY after every table file is
-    durable — a crash mid-dump leaves no marker and consumers ignore the
-    directory (state machine K4)."""
+    """Dump one or MANY lake live views as the reference's coordinated
+    snapshot directory (snapshot_coordinator.py:44-60, file_snapshot.py:
+    34-119): ONE metadata.json whose ``content`` lists every TableConfig,
+    per-table ``tables/<t>.csv[.gz]``, and a single complete.json success
+    marker written ONLY after every table file is durable — a crash mid-dump
+    leaves no marker and consumers ignore the directory (state machine K4).
+
+    ``columns`` maps table -> TableConfig column list (optional subset +
+    formatter, see ``project_columns``). CSV bytes follow the reference's
+    Postgres COPY CSV convention: NULL -> empty, empty string -> ``""``,
+    embedded quotes doubled, minimal quoting, timestamps to the second."""
+    import time
+
+    if isinstance(lakes, LakeTable):
+        lakes = {lakes.meta["table"]: lakes}
+    columns = columns or {}
     name = f"cdc_snapshot_{product}_{snapshot_id}"
     dest = os.path.join(out_root, name)
     tables_dir = os.path.join(dest, "tables")
     os.makedirs(tables_dir, exist_ok=True)
 
-    table = lake.meta["table"]
+    content = []
+    for table, lake in lakes.items():
+        cfg = {"table": table, "zip": bool(compress), "format": "csv"}
+        cols = columns.get(table)
+        cfg["columns"] = (
+            [dict(c) for c in cols]
+            if cols
+            else [{"name": n} for n, _ in lake.schema_fields()]
+        )
+        content.append(cfg)
     with open(os.path.join(dest, "metadata.json"), "w") as fh:
         json.dump(
             {
-                "snapshot-id": snapshot_id,
+                "snapshot_id": snapshot_id,
                 "product": product,
-                "transaction-info": {
-                    "lsn-watermark": lake.last_batch["lsn_hwm"],
-                    "lake-version": lake.version,
+                "transactions": {
+                    "lsn_watermarks": {
+                        t: lk.last_batch["lsn_hwm"] for t, lk in lakes.items()
+                    },
+                    "lake_versions": {t: lk.version for t, lk in lakes.items()},
                 },
-                "content": [
-                    {
-                        "table": table,
-                        "columns": [n for n, _ in lake.schema_fields()],
-                        "format": "csv",
-                        "zip": "gzip" if compress else None,
-                    }
-                ],
+                "content": content,
+                "start_timestamp": time.time(),
             },
             fh,
             indent=1,
         )
 
-    tmp = os.path.join(tables_dir, f"_{table}_spark")
-    writer = lake.read().coalesce(1).write.option("header", True)
-    if compress:
-        writer = writer.option("compression", "gzip")
-    writer.mode("overwrite").csv(tmp)
     ext = ".csv.gz" if compress else ".csv"
-    part = glob.glob(os.path.join(tmp, "part-*"))[0]
-    os.rename(part, os.path.join(tables_dir, f"{table}{ext}"))
-    import shutil
+    for table, lake in lakes.items():
+        df = project_columns(lake.read(), columns.get(table))
+        tmp = os.path.join(tables_dir, f"_{table}_spark")
+        # one file per table is the reference's layout (file_snapshot.py
+        # one get_table_file per TableConfig) — coalesce(1) is forced by
+        # that contract, not a scale choice; key-sorted for determinism
+        writer = (
+            df.coalesce(1)
+            .sortWithinPartitions(*[f"`{k}`" for k in lake.key if k in df.columns])
+            .write.option("header", True)
+            .option("escape", '"')          # CSV doubles quotes (COPY CSV)
+            .option("emptyValue", '""')     # '' stays distinguishable from NULL
+            .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+        )
+        if compress:
+            writer = writer.option("compression", "gzip")
+        writer.mode("overwrite").csv(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*"))[0]
+        os.rename(part, os.path.join(tables_dir, f"{table}{ext}"))
+        import shutil
 
-    shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     # success marker last — no marker, no snapshot
     with open(os.path.join(dest, "complete.json"), "w") as fh:
-        json.dump({"event": "snapshot-complete", "snapshot-id": snapshot_id}, fh)
+        json.dump(
+            {
+                "event": "snapshot-complete",
+                "snapshot-id": snapshot_id,
+                "finish_timestamp": time.time(),
+            },
+            fh,
+        )
     return dest

@@ -84,7 +84,7 @@ def test_csv_export_layout_and_marker(spark, tmpdir_factory_clean):
     assert os.path.basename(dest) == "cdc_snapshot_testp_snap1"
     meta = json.load(open(os.path.join(dest, "metadata.json")))
     assert meta["content"][0]["table"] == "repos"
-    assert meta["transaction-info"]["lsn-watermark"] == 500
+    assert meta["transactions"]["lsn_watermarks"]["repos"] == 500
     csv_path = os.path.join(dest, "tables", "repos.csv.gz")
     assert os.path.exists(csv_path)
     with gzip.open(csv_path, "rt") as fh:
@@ -92,6 +92,79 @@ def test_csv_export_layout_and_marker(spark, tmpdir_factory_clean):
     assert header.split(",") == [n for n, _ in lake.schema_fields()]
     # success marker written last
     assert json.load(open(os.path.join(dest, "complete.json")))["snapshot-id"] == "snap1"
+
+
+def test_multi_table_export_golden_bytes(spark, tmpdir_factory_clean):
+    """Coordinated multi-table snapshot, byte-exact against the reference's
+    Postgres COPY CSV convention (reference test_postgres_snapshot.py:58-133:
+    NULL -> empty, empty string -> \"\", embedded quotes doubled, datetime
+    formatted to the second)."""
+    import datetime
+
+    from cdc_spark.lake import LakeTable
+
+    root = tmpdir_factory_clean("mt")
+    lake1 = LakeTable.create(
+        spark, os.path.join(root, "test_snapshot"),
+        fields=[("a", "long"), ("b", "string"), ("c", "timestamp")],
+        key=("a",), n_buckets=2, table="test_snapshot",
+    )
+    ddl = (
+        "a BIGINT, b STRING, c TIMESTAMP, _lsn BIGINT, _deleted BOOLEAN, "
+        "_extra MAP<STRING,STRING>"
+    )
+    ts = datetime.datetime(2019, 6, 16, 6, 21, 39)
+    rows = [
+        (1, "test", ts, 1, False, None),       # basic
+        (2, "test", None, 2, False, None),     # NULL
+        (3, "", None, 3, False, None),         # empty string
+        (4, 'tes"t', None, 4, False, None),    # escape
+        (5, "I am NULL", None, 5, False, None),  # the string null
+    ]
+    lake1.merge(spark.createDataFrame(rows, ddl), batch_id=0, lsn_hwm=5)
+
+    lake2 = LakeTable.create(
+        spark, os.path.join(root, "other"),
+        fields=[("a", "long"), ("b", "string")], key=("a",), n_buckets=2,
+        table="other",
+    )
+    lake2.merge(
+        spark.createDataFrame(
+            [(9, "x", 1, False, None)],
+            "a BIGINT, b STRING, _lsn BIGINT, _deleted BOOLEAN, "
+            "_extra MAP<STRING,STRING>",
+        ),
+        batch_id=0, lsn_hwm=1,
+    )
+
+    dest = export_csv(
+        {"test_snapshot": lake1, "other": lake2},
+        root, snapshot_id="g1", product="p",
+        columns={
+            "test_snapshot": [
+                {"name": "a"}, {"name": "b"},
+                {"name": "c", "formatter": "datetime"},
+            ]
+        },
+    )
+    with gzip.open(os.path.join(dest, "tables", "test_snapshot.csv.gz"), "rt") as fh:
+        body = fh.read()
+    assert body == (
+        "a,b,c\n"
+        "1,test,2019-06-16 06:21:39\n"
+        "2,test,\n"
+        '3,"",\n'
+        '4,"tes""t",\n'
+        "5,I am NULL,\n"
+    )
+    with gzip.open(os.path.join(dest, "tables", "other.csv.gz"), "rt") as fh:
+        assert fh.read() == "a,b\n9,x\n"
+    meta = json.load(open(os.path.join(dest, "metadata.json")))
+    assert [c["table"] for c in meta["content"]] == ["test_snapshot", "other"]
+    assert meta["transactions"]["lsn_watermarks"] == {
+        "test_snapshot": 5, "other": 1,
+    }
+    assert os.path.exists(os.path.join(dest, "complete.json"))
 
 
 def test_formatter_projection(spark):
