@@ -47,9 +47,12 @@ def main(argv: list[str] | None = None) -> int:
     sub = p.add_subparsers(dest="cmd", required=True)
 
     c = sub.add_parser("consumer", help="WAL-tail -> lake upsert (exactly-once)")
-    c.add_argument("--source", required=True)
-    c.add_argument("--lake", required=True)
-    c.add_argument("--checkpoint", required=True)
+    c.add_argument("--config", default=None,
+                   help="YAML config file (jsonschema-validated); replaces "
+                        "--source/--lake/--checkpoint")
+    c.add_argument("--source", default=None)
+    c.add_argument("--lake", default=None)
+    c.add_argument("--checkpoint", default=None)
     c.add_argument("--buckets", type=int, default=64)
     c.add_argument("--salt", type=int, default=1)
     c.add_argument("--max-files-per-trigger", type=int, default=None)
@@ -101,22 +104,35 @@ def main(argv: list[str] | None = None) -> int:
     spark = _session(args.cpus, shuffle)
     try:
         if args.cmd == "consumer":
-            from cdc_spark.config import EngineConfig
+            from cdc_spark.config import EngineConfig, load_config
             from cdc_spark.stream import start_stream
 
-            cfg = EngineConfig(
-                lake_root=args.lake,
-                checkpoint=args.checkpoint,
-                n_buckets=args.buckets,
-                salt=args.salt,
-                max_files_per_trigger=args.max_files_per_trigger,
-            )
-            q, _ = start_stream(
-                spark, args.source, cfg,
-                framed=args.framed,
-                available_now=not args.continuous,
-                processing_time=args.trigger if args.continuous else None,
-            )
+            if args.config:
+                cfg, doc = load_config(args.config)
+                src = doc["source"]
+                backend = src.pop("backend")
+                q, _ = start_stream(
+                    spark, None, cfg,
+                    available_now=not args.continuous,
+                    processing_time=args.trigger if args.continuous else None,
+                    source=backend, source_conf=src,
+                )
+            else:
+                if not (args.source and args.lake and args.checkpoint):
+                    p.error("consumer needs --config or --source/--lake/--checkpoint")
+                cfg = EngineConfig(
+                    lake_root=args.lake,
+                    checkpoint=args.checkpoint,
+                    n_buckets=args.buckets,
+                    salt=args.salt,
+                    max_files_per_trigger=args.max_files_per_trigger,
+                )
+                q, _ = start_stream(
+                    spark, args.source, cfg,
+                    framed=args.framed,
+                    available_now=not args.continuous,
+                    processing_time=args.trigger if args.continuous else None,
+                )
             q.awaitTermination()
         elif args.cmd == "producer":
             from cdc_spark.config import EngineConfig

@@ -38,7 +38,12 @@ KEY_COLUMNS: tuple[str, str] = ("repo", "path")
 DML_OPS = ("insert", "update", "delete")
 
 #: Supported column types for schema evolution (retype uses try_cast).
-EVOLUTION_TYPES = ("string", "long", "double", "boolean")
+#: ``decimal(p,s)`` is accepted with explicit precision/scale; the oracle
+#: (oracle.py convert/cast_string) mirrors every cast rule per the reference
+#: type fixture (tests/cdc/sources/backends/test_parse_msg.py:20).
+EVOLUTION_TYPES = (
+    "string", "long", "double", "boolean", "timestamp", "date", "decimal",
+)
 
 
 @dataclass
@@ -85,3 +90,77 @@ class EngineConfig:
     base_fields: list[tuple[str, str]] = field(
         default_factory=lambda: list(BASE_FIELDS)
     )
+
+
+#: jsonschema for the YAML config file — validated exactly like the
+#: reference wires components (``cdc/__main__.py:24-58`` +
+#: ``cdc/utils/registry.py:9-14``): a versioned document naming the source
+#: backend (resolved through the sources registry) and the lake/apply knobs.
+CONFIG_SCHEMA = {
+    "type": "object",
+    "properties": {
+        "version": {"const": 1},
+        "source": {
+            "type": "object",
+            "properties": {
+                "backend": {"type": "string"},
+                "path": {"type": "string"},
+                "framed": {"type": "boolean"},
+            },
+            "required": ["backend"],
+        },
+        "lake": {
+            "type": "object",
+            "properties": {
+                "root": {"type": "string"},
+                "checkpoint": {"type": "string"},
+                "buckets": {"type": "integer", "minimum": 1},
+                "salt": {"type": "integer", "minimum": 1},
+                "shuffle_partitions": {"type": "integer", "minimum": 1},
+                "max_files_per_trigger": {"type": ["integer", "null"]},
+            },
+            "required": ["root", "checkpoint"],
+        },
+        "apply": {
+            "type": "object",
+            "properties": {
+                "dedup_narrow": {"type": "boolean"},
+                "dedup_broadcast_max_rows": {"type": "integer", "minimum": 1},
+                "compact_every": {"type": "integer", "minimum": 0},
+                "expire_keep": {"type": "integer", "minimum": 1},
+                "tombstone_lag": {"type": "integer", "minimum": 0},
+            },
+        },
+        "sink": {"type": "object"},
+    },
+    "required": ["version", "source", "lake"],
+}
+
+
+def load_config(path: str) -> tuple["EngineConfig", dict]:
+    """Load + validate a YAML (or JSON — YAML superset) config file and map
+    it onto an ``EngineConfig``. Returns ``(cfg, document)``; the document
+    keeps the ``source``/``sink`` sections for the CLI to wire through the
+    sources registry. Raises ``jsonschema.ValidationError`` on bad input."""
+    import jsonschema
+    import yaml
+
+    with open(path) as fh:
+        doc = yaml.safe_load(fh)
+    jsonschema.validate(doc, CONFIG_SCHEMA)
+    lake = doc["lake"]
+    ap = doc.get("apply", {})
+    cfg = EngineConfig(
+        lake_root=lake["root"],
+        checkpoint=lake["checkpoint"],
+        n_buckets=lake.get("buckets", 16),
+        salt=lake.get("salt", 1),
+        shuffle_partitions=lake.get("shuffle_partitions", 32),
+        max_files_per_trigger=lake.get("max_files_per_trigger"),
+        dedup_narrow=ap.get("dedup_narrow", True),
+        dedup_broadcast_max_rows=ap.get("dedup_broadcast_max_rows", 5_000_000),
+        compact_every=ap.get("compact_every", 0),
+        expire_keep=ap.get("expire_keep", 8),
+        tombstone_lag=ap.get("tombstone_lag", 1_000_000),
+    )
+    return cfg, doc

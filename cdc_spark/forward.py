@@ -28,9 +28,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .config import ENVELOPE_DDL, EngineConfig
+from .config import EngineConfig
 from .loggen import frame_value
-from .parse import parse_frames
 
 STREAM_MESSAGE_DDL = (
     "`key` BINARY, value BINARY, headers ARRAY<STRUCT<key: STRING, value: BINARY>>"
@@ -73,9 +72,33 @@ def kafka_available(spark: SparkSession) -> bool:
         return False
 
 
+def forward_plan(
+    cfg: EngineConfig,
+    *,
+    sink: str = "parquet",
+    sink_path: str | None = None,
+    kafka_bootstrap: str | None = None,
+    topic: str = "cdc",
+) -> dict:
+    """Build the sink plan (format + writer options) WITHOUT starting it —
+    the Kafka path stays unit-testable with the connector jar absent (the
+    classpath gate only applies at ``start_forward`` time)."""
+    if sink == "kafka":
+        if not kafka_bootstrap:
+            raise ValueError("sink='kafka' requires kafka_bootstrap")
+        options = {
+            "kafka.bootstrap.servers": kafka_bootstrap,
+            "topic": topic,
+        }
+    else:
+        options = {"path": sink_path or os.path.join(cfg.lake_root, "_forwarded")}
+    options["checkpointLocation"] = cfg.checkpoint
+    return {"format": sink, "options": options}
+
+
 def start_forward(
     spark: SparkSession,
-    source_dir: str,
+    source_dir: str | None,
     cfg: EngineConfig,
     *,
     sink: str = "parquet",
@@ -83,39 +106,33 @@ def start_forward(
     kafka_bootstrap: str | None = None,
     topic: str = "cdc",
     framed_source: bool = False,
+    source: str = "file-segments",
+    source_conf: dict | None = None,
 ):
-    """Start the producer pipeline: WAL segments -> StreamMessages -> sink.
+    """Start the producer pipeline: source backend -> StreamMessages -> sink.
 
     With ``sink='kafka'`` this is the reference pipeline verbatim (requires
-    the Kafka jar + brokers); file sinks keep the same message schema.
+    the Kafka jar + brokers); file sinks keep the same message schema. The
+    input comes from the source-backend registry like ``start_stream``.
     """
-    ddl = "lsn BIGINT, value STRING" if framed_source else ENVELOPE_DDL
-    reader = spark.readStream.schema(ddl)
-    if cfg.max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    df = reader.parquet(os.path.join(source_dir, "seg=*"))
-    if framed_source:
-        df = parse_frames(df)
+    from .sources import build_source
+
+    conf = dict(source_conf or {})
+    if source == "file-segments":
+        conf.setdefault("path", source_dir)
+        conf.setdefault("framed", framed_source)
+    df = build_source(spark, cfg, source, conf)
     msgs = to_stream_messages(df)
 
-    if sink == "kafka":
-        if not kafka_available(spark):
-            raise RuntimeError(
-                "spark-sql-kafka connector not on the classpath; add "
-                "--packages org.apache.spark:spark-sql-kafka-0-10_2.13 and "
-                "pass kafka_bootstrap"
-            )
-        writer = (
-            msgs.writeStream.format("kafka")
-            .option("kafka.bootstrap.servers", kafka_bootstrap)
-            .option("topic", topic)
-        )
-    else:
-        writer = msgs.writeStream.format(sink).option(
-            "path", sink_path or os.path.join(cfg.lake_root, "_forwarded")
-        )
-    return (
-        writer.option("checkpointLocation", cfg.checkpoint)
-        .trigger(availableNow=True)
-        .start()
+    plan = forward_plan(
+        cfg, sink=sink, sink_path=sink_path,
+        kafka_bootstrap=kafka_bootstrap, topic=topic,
     )
+    if sink == "kafka" and not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; add "
+            "--packages org.apache.spark:spark-sql-kafka-0-10_2.13 and "
+            "pass kafka_bootstrap"
+        )
+    writer = msgs.writeStream.format(plan["format"]).options(**plan["options"])
+    return writer.trigger(availableNow=True).start()

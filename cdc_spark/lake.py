@@ -50,7 +50,9 @@ from pyspark.sql import functions as F
 
 _SQL_TYPES = {"string": "STRING", "long": "BIGINT", "double": "DOUBLE",
               "boolean": "BOOLEAN", "int": "INT", "timestamp": "TIMESTAMP",
-              "map<string,string>": "MAP<STRING,STRING>"}
+              "date": "DATE", "map<string,string>": "MAP<STRING,STRING>"}
+
+_DECIMAL_RE = None  # compiled lazily (module import stays light)
 
 #: engine bookkeeping columns stored in every data file. ``_extra`` keeps the
 #: wal2json payload entries not consumed by the schema in force when the row
@@ -68,7 +70,17 @@ class ConcurrentCommitError(RuntimeError):
 
 
 def sql_type(t: str) -> str:
-    return _SQL_TYPES[t]
+    if t in _SQL_TYPES:
+        return _SQL_TYPES[t]
+    global _DECIMAL_RE
+    if _DECIMAL_RE is None:
+        import re
+
+        _DECIMAL_RE = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+    m = _DECIMAL_RE.fullmatch(t)
+    if m:
+        return f"DECIMAL({m.group(1)},{m.group(2)})"
+    raise KeyError(f"unsupported column type {t!r}")
 
 
 def bucket_expr(key: tuple[str, ...], n_buckets: int):

@@ -39,6 +39,58 @@ def _h(col, seed: int, salt: int):
     return F.pmod(F.xxhash64(col, F.lit(seed), F.lit(salt)), F.lit(1 << 62))
 
 
+def dml_columns(
+    lsn,
+    *,
+    n_repos: int = 100,
+    n_paths: int = 50,
+    zipf: float = 2.0,
+    delete_rate: float = 0.08,
+    table: str = "repos",
+    seed: int = 42,
+    content_repeat: int = 1,
+) -> list:
+    """The deterministic envelope column expressions keyed on an ``lsn``
+    column — shared by the batch generator (over ``spark.range``) and the
+    streaming rate backend (over the rate source's ``value``)."""
+    u_repo = _u(lsn, seed, 1)
+    repo_idx = F.floor(F.lit(float(n_repos)) * F.pow(u_repo, F.lit(float(zipf))))
+    path_idx = F.pmod(_h(lsn, seed, 2), F.lit(n_paths))
+    u_op = _u(lsn, seed, 3)
+    commit_hex = F.lower(F.lpad(F.hex(_h(lsn, seed, 4)), 16, "0"))
+    lang = F.element_at(
+        F.array(*[F.lit(x) for x in LANGS]),
+        (F.pmod(_h(lsn, seed, 5), F.lit(len(LANGS))) + 1).cast("int"),
+    )
+    body_rep = (
+        (F.pmod(_h(lsn, seed, 6), F.lit(8)) + 1) * F.lit(content_repeat)
+    ).cast("int")
+    repo_s = F.concat(F.lit("repo-"), repo_idx.cast("string"))
+    path_s = F.concat(
+        F.lit("src/"), path_idx.cast("string"), F.lit("/file_"),
+        F.pmod(_h(lsn, seed, 7), F.lit(7)).cast("string"), F.lit(".txt"),
+    )
+    content = F.concat(
+        repo_s, F.lit(":"), path_s, F.lit("@"), commit_hex, F.lit("::"),
+        F.repeat(F.substring(commit_hex, 1, 8), body_rep),
+    )
+    op = (
+        F.when(u_op < F.lit(delete_rate), F.lit("delete"))
+        .when(u_op < F.lit(delete_rate + 0.3), F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return [
+        lsn.alias("lsn"),
+        op.alias("op"),
+        F.lit(table).alias("table"),
+        repo_s.alias("repo"),
+        path_s.alias("path"),
+        commit_hex.alias("commit"),
+        lang.alias("lang"),
+        content.alias("content"),
+    ]
+
+
 def change_log(
     spark: SparkSession,
     n_events: int,
@@ -73,34 +125,13 @@ def change_log(
     df = spark.range(start_lsn, start_lsn + n_events).withColumnRenamed("id", "lsn")
 
     lsn = F.col("lsn")
-    u_repo = _u(lsn, seed, 1)
-    repo_idx = F.floor(F.lit(float(n_repos)) * F.pow(u_repo, F.lit(float(zipf))))
-    path_idx = F.pmod(_h(lsn, seed, 2), F.lit(n_paths))
-    u_op = _u(lsn, seed, 3)
-    commit_hex = F.lower(F.lpad(F.hex(_h(lsn, seed, 4)), 16, "0"))
-    lang = F.element_at(
-        F.array(*[F.lit(x) for x in LANGS]), (F.pmod(_h(lsn, seed, 5), F.lit(len(LANGS))) + 1).cast("int")
-    )
     # variable-length deterministic body; sha256(content) is the invariant.
     # content_repeat scales bodies toward realistic source-file sizes
     # (default ~8-70 B; content_repeat=32 -> ~0.25-2 KB)
-    body_rep = ((F.pmod(_h(lsn, seed, 6), F.lit(8)) + 1) * F.lit(content_repeat)).cast(
-        "int"
-    )
-    repo_s = F.concat(F.lit("repo-"), repo_idx.cast("string"))
-    path_s = F.concat(
-        F.lit("src/"), path_idx.cast("string"), F.lit("/file_"),
-        F.pmod(_h(lsn, seed, 7), F.lit(7)).cast("string"), F.lit(".txt"),
-    )
-    content = F.concat(
-        repo_s, F.lit(":"), path_s, F.lit("@"), commit_hex, F.lit("::"),
-        F.repeat(F.substring(commit_hex, 1, 8), body_rep),
-    )
-
-    op = (
-        F.when(u_op < F.lit(delete_rate), F.lit("delete"))
-        .when(u_op < F.lit(delete_rate + 0.3), F.lit("insert"))
-        .otherwise(F.lit("update"))
+    base_cols = dml_columns(
+        lsn, n_repos=n_repos, n_paths=n_paths, zipf=zipf,
+        delete_rate=delete_rate, table=table, seed=seed,
+        content_repeat=content_repeat,
     )
 
     # values for columns added by schema evolution (arrive via `extra`)
@@ -109,12 +140,29 @@ def change_log(
         if ch["action"] != "add":
             continue
         cname, ctype = ch["column"], ch.get("type", "string")
+        h = _h(lsn, seed, 100 + c_lsn)
         if ctype in ("long", "double"):
-            val = F.pmod(_h(lsn, seed, 100 + c_lsn), F.lit(100000)).cast("string")
+            val = F.pmod(h, F.lit(100000)).cast("string")
         elif ctype == "boolean":
-            val = (F.pmod(_h(lsn, seed, 100 + c_lsn), F.lit(2)) == 0).cast("string")
+            val = (F.pmod(h, F.lit(2)) == 0).cast("string")
+        elif ctype == "timestamp":
+            val = F.date_format(
+                F.timestamp_seconds(F.lit(1_600_000_000) + F.pmod(h, F.lit(1_000_000))),
+                "yyyy-MM-dd HH:mm:ss",
+            )
+        elif ctype == "date":
+            val = F.date_format(
+                F.date_add(F.lit("2020-01-01").cast("date"), F.pmod(h, F.lit(2000)).cast("int")),
+                "yyyy-MM-dd",
+            )
+        elif ctype.startswith("decimal"):
+            val = F.concat(
+                F.pmod(h, F.lit(100000)).cast("string"),
+                F.lit("."),
+                F.lpad(F.pmod(_h(lsn, seed, 200 + c_lsn), F.lit(1000)).cast("string"), 3, "0"),
+            )
         else:
-            val = F.concat(F.lit(cname + "-"), F.pmod(_h(lsn, seed, 100 + c_lsn), F.lit(1000)).cast("string"))
+            val = F.concat(F.lit(cname + "-"), F.pmod(h, F.lit(1000)).cast("string"))
         extra_entries.append((cname, F.when(lsn > F.lit(c_lsn), val)))
     if extra_entries:
         pairs = []
@@ -127,14 +175,7 @@ def change_log(
         extra = F.lit(None).cast("map<string,string>")
 
     dml = df.select(
-        lsn,
-        op.alias("op"),
-        F.lit(table).alias("table"),
-        repo_s.alias("repo"),
-        path_s.alias("path"),
-        commit_hex.alias("commit"),
-        lang.alias("lang"),
-        content.alias("content"),
+        *base_cols,
         extra.alias("extra"),
         F.lit(None).cast("string").alias("schema_change"),
     )

@@ -23,8 +23,32 @@ _TRUE = {"true", "t", "1", "y", "yes"}
 _FALSE = {"false", "f", "0", "n", "no"}
 
 
+def _decimal_scale(typ: str) -> tuple[int, int]:
+    p, s = typ[len("decimal("):-1].split(",")
+    return int(p), int(s)
+
+
+def _quantize(value, typ: str):
+    """Decimal(p, s) semantics of Spark's cast: round HALF_UP to scale s,
+    NULL on precision overflow (try_cast)."""
+    import decimal
+
+    p, s = _decimal_scale(typ)
+    try:
+        d = decimal.Decimal(str(value)).quantize(
+            decimal.Decimal(1).scaleb(-s), rounding=decimal.ROUND_HALF_UP
+        )
+    except (decimal.InvalidOperation, ValueError):
+        return None
+    if len(d.as_tuple().digits) - s > p - s:  # integral digits exceed p-s
+        return None
+    return d
+
+
 def cast_string(s: str | None, typ: str) -> Any:
     """Mirror Spark ANSI try_cast(string AS typ)."""
+    import datetime
+
     if s is None:
         return None
     if typ == "string":
@@ -42,6 +66,18 @@ def cast_string(s: str | None, typ: str) -> Any:
             if lv in _FALSE:
                 return False
             return None
+        if typ == "timestamp":
+            try:
+                return datetime.datetime.fromisoformat(v)
+            except ValueError:
+                return None
+        if typ == "date":
+            try:
+                return datetime.date.fromisoformat(v)
+            except ValueError:
+                return None
+        if typ.startswith("decimal("):
+            return _quantize(v, typ)
     except (ValueError, TypeError):
         return None
     raise ValueError(f"unsupported type {typ}")
@@ -49,19 +85,40 @@ def cast_string(s: str | None, typ: str) -> Any:
 
 def convert(value: Any, from_t: str, to_t: str) -> Any:
     """Mirror Spark try_cast(from_t AS to_t) on an already-typed value."""
+    import datetime
+
     if value is None or from_t == to_t:
         return value
     if to_t == "string":
         if from_t == "boolean":
             return "true" if value else "false"
+        # datetime/date/Decimal str() match Spark's cast-to-string rendering
+        # ('YYYY-MM-DD HH:MM:SS[.ffffff]', 'YYYY-MM-DD', full-scale decimal)
         return str(value)
     if from_t == "string":
         return cast_string(value, to_t)
+    if to_t.startswith("decimal("):
+        return _quantize(value, to_t)
+    if from_t == "timestamp":
+        if to_t == "long":  # epoch seconds, UTC session
+            epoch = datetime.datetime(1970, 1, 1)
+            return int((value - epoch).total_seconds() // 1)
+        if to_t == "date":
+            return value.date()
+        raise ValueError(f"unsupported conversion {from_t} -> {to_t}")
+    if to_t == "timestamp":
+        if from_t == "long":
+            return datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                seconds=int(value)
+            )
+        if from_t == "date":
+            return datetime.datetime(value.year, value.month, value.day)
+        raise ValueError(f"unsupported conversion {from_t} -> {to_t}")
     if to_t == "double":
         return float(value)
     if to_t == "long":
-        if from_t == "boolean":
-            return int(value)
+        if from_t.startswith("decimal("):
+            return int(value)  # truncate toward zero, like Spark
         return int(value)
     if to_t == "boolean":
         return bool(value)

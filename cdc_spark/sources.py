@@ -1,0 +1,155 @@
+"""Pluggable streaming source backends + registry.
+
+The reference wires its replication source through a name -> factory
+registry (``/root/reference/cdc/sources/backends/__init__.py:44-46``,
+``cdc/utils/registry.py:9-14``) so a production connector is a drop-in. The
+engine's analog: a backend is a factory ``(spark, cfg, conf) -> streaming
+DataFrame`` producing the fixed ENVELOPE (``config.ENVELOPE_DDL``);
+everything downstream (apply, forward, monitor) is backend-agnostic.
+
+Shipped backends:
+
+- ``file-segments`` — parquet WAL-segment dirs (``seg=K/``), the sandbox's
+  replication slot: Spark's file-source offset log under the checkpoint IS
+  the slot's restart LSN (reference S3 semantics). ``conf``:
+  ``{"path": dir, "framed": bool}``.
+- ``rate`` — Spark's rate source mapped through the deterministic loggen
+  envelope expressions; unbounded synthetic load for soak/benchmarks.
+  ``conf``: ``{"rows_per_second": int, "n_repos": int, ...}``.
+- ``kafka`` — the production transport (needs the spark-sql-kafka jar,
+  absent in this container; gated on a classpath check). Reads the
+  forwarder's StreamMessage layout: framed payload in ``value``, LSN in the
+  ``lsn`` header. ``conf``: ``{"bootstrap": servers, "topic": str}``.
+- ``postgres-logical`` — documented stub for the reference's
+  ``LogicalReplicationConnection`` source
+  (``cdc/sources/backends/postgres_logical.py:137-213``). A JVM/py4j
+  psycopg2 bridge is not available here; in production front the slot with
+  the forwarder (or Debezium) into Kafka and use the ``kafka`` backend, or
+  implement a custom Python data source streaming reader with slot
+  create/resume + keepalive feedback.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import ENVELOPE_DDL, EngineConfig
+from .parse import parse_frames
+
+FRAMED_DDL = "lsn BIGINT, value STRING"
+
+SourceFactory = Callable[[SparkSession, EngineConfig, dict], DataFrame]
+
+
+def file_segments_source(
+    spark: SparkSession, cfg: EngineConfig, conf: dict
+) -> DataFrame:
+    ddl = FRAMED_DDL if conf.get("framed") else ENVELOPE_DDL
+    reader = spark.readStream.schema(ddl)
+    if cfg.max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
+    df = reader.parquet(os.path.join(conf["path"], "seg=*"))
+    if conf.get("framed"):
+        df = parse_frames(df)
+    return df
+
+
+def rate_source(spark: SparkSession, cfg: EngineConfig, conf: dict) -> DataFrame:
+    """Unbounded deterministic envelope stream: rate-source value -> lsn ->
+    the same seeded column expressions as ``loggen.change_log`` — generation
+    happens executor-side per partition, never on the driver."""
+    from .loggen import dml_columns
+
+    rows = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", conf.get("rows_per_second", 10_000))
+        .option("numPartitions", conf.get("num_partitions", 4))
+        .load()
+    )
+    lsn = (F.col("value") + 1).cast("long")
+    cols = dml_columns(
+        lsn,
+        n_repos=conf.get("n_repos", 100),
+        n_paths=conf.get("n_paths", 50),
+        zipf=conf.get("zipf", 2.0),
+        delete_rate=conf.get("delete_rate", 0.08),
+        table=conf.get("table", "repos"),
+        seed=conf.get("seed", 42),
+        content_repeat=conf.get("content_repeat", 1),
+    )
+    return rows.select(
+        *cols,
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+
+
+def kafka_source(spark: SparkSession, cfg: EngineConfig, conf: dict) -> DataFrame:
+    from .forward import kafka_available
+
+    if not kafka_available(spark):
+        raise RuntimeError(
+            "spark-sql-kafka connector not on the classpath; add --packages "
+            "org.apache.spark:spark-sql-kafka-0-10_2.13 and pass "
+            "conf={'bootstrap': ..., 'topic': ...}"
+        )
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", conf["bootstrap"])
+        .option("subscribe", conf.get("topic", "cdc"))
+        .option("startingOffsets", conf.get("starting_offsets", "earliest"))
+        .load()
+    )
+    framed = raw.select(
+        F.expr(
+            "CAST(CAST(filter(headers, h -> h.key = 'lsn')[0].value AS STRING) "
+            "AS BIGINT)"
+        ).alias("lsn"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return parse_frames(framed)
+
+
+def postgres_logical_source(
+    spark: SparkSession, cfg: EngineConfig, conf: dict
+) -> DataFrame:
+    """Stub — see module docstring. Signature contract for a production
+    drop-in: conf = {"dsn": str, "slot_name": str, "create_slot": bool,
+    "keepalive_interval_s": float}; must yield FRAMED rows (lsn BIGINT,
+    value STRING) in slot order and advance the slot only from the commit
+    log (flush position), mirroring the reference's send_feedback
+    (postgres_logical.py:186-198)."""
+    raise NotImplementedError(
+        "postgres-logical needs a replication client (psycopg2) that is not "
+        "in this container; front the slot with the forwarder into Kafka "
+        "and use the 'kafka' backend"
+    )
+
+
+_SOURCES: dict[str, SourceFactory] = {
+    "file-segments": file_segments_source,
+    "rate": rate_source,
+    "kafka": kafka_source,
+    "postgres-logical": postgres_logical_source,
+}
+
+
+def register_source(name: str, factory: SourceFactory) -> None:
+    """Extension point (the reference Registry's factory map)."""
+    _SOURCES[name] = factory
+
+
+def source_names() -> list[str]:
+    return sorted(_SOURCES)
+
+
+def build_source(
+    spark: SparkSession, cfg: EngineConfig, name: str, conf: dict | None = None
+) -> DataFrame:
+    if name not in _SOURCES:
+        raise KeyError(f"unknown source backend {name!r}; have {source_names()}")
+    return _SOURCES[name](spark, cfg, conf or {})

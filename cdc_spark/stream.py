@@ -13,41 +13,39 @@ the same pipeline reads ``format("kafka")`` — only this module changes.
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from .apply import CdcApply
-from .config import ENVELOPE_DDL, EngineConfig
-from .parse import parse_frames
-
-FRAMED_DDL = "lsn BIGINT, value STRING"
+from .config import EngineConfig
+from .sources import FRAMED_DDL, build_source  # noqa: F401 (FRAMED_DDL re-export)
 
 
 def start_stream(
     spark: SparkSession,
-    source_dir: str,
+    source_dir: str | None,
     cfg: EngineConfig,
     *,
     framed: bool = False,
     available_now: bool = True,
     processing_time: str | None = None,
     fail_after_batches: int | None = None,
+    source: str = "file-segments",
+    source_conf: dict | None = None,
 ) -> tuple[StreamingQuery, CdcApply]:
-    """Start the WAL-tail -> lake pipeline over parquet segment dirs.
+    """Start the WAL-tail -> lake pipeline.
 
-    ``framed=True`` reads (lsn, value) wire frames and runs the vectorized
-    parser in-stream; otherwise segments already carry the envelope.
-    ``fail_after_batches`` injects a crash for kill-and-resume tests.
+    The input comes from the source-backend registry (``sources.py``):
+    ``source`` names the backend, ``source_conf`` its config; the default
+    file-segments backend keeps the historical ``source_dir``/``framed``
+    shorthand. ``fail_after_batches`` injects a crash for kill-and-resume
+    tests.
     """
-    ddl = FRAMED_DDL if framed else ENVELOPE_DDL
-    reader = spark.readStream.schema(ddl)
-    if cfg.max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
-    df = reader.parquet(os.path.join(source_dir, "seg=*"))
-    if framed:
-        df = parse_frames(df)
+    conf = dict(source_conf or {})
+    if source == "file-segments":
+        conf.setdefault("path", source_dir)
+        conf.setdefault("framed", framed)
+    df = build_source(spark, cfg, source, conf)
 
     applier = CdcApply(spark, cfg)
     n_seen = {"batches": 0}
