@@ -97,6 +97,7 @@ def main() -> None:
 
     # ---- representative operator queries at the sf dir
     reg = registry()
+    counts: dict[str, int] = {}
     for name in (
         "cdc_materialize",
         "lww_dedup",
@@ -109,8 +110,62 @@ def main() -> None:
     ):
         fn = reg[name][0]
         t0 = time.time()
-        fn(spark, sf_dir).count()
+        counts[name] = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
+
+    # ---- pair-generator scaling evidence (sf1-equivalent stress)
+    # (a) real-data growth: driver tables at 1/10th the sf — pair counts at
+    #     10x docs show whether banding / the relative DF cap keep candidate
+    #     growth at-or-below linear on the actual corpus distribution.
+    # (b) synthetic 10x corpus (cipher-sliced variants of the sf docs):
+    #     pair SEMANTICS there are fixture-dominated (tiny shared vocab
+    #     leaks shingles across slices), so it is recorded as an engine
+    #     COST probe — runtime and join-volume at ~10x docs.
+    pair_stress: dict[str, dict] = {}
+    small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    synth = tempfile.mkdtemp(prefix="cdc_pairs10x_")
+    try:
+        alpha = "abcdefghijklmnopqrstuvwxyz"
+        parts = [
+            docs.select(
+                (docs.doc_id + i * 10_000_000).alias("doc_id"),
+                (
+                    docs.text
+                    if i == 0
+                    else F.translate(docs.text, alpha, alpha[i:] + alpha[:i])
+                ).alias("text"),
+                "lang", "source", "n_chars",
+            )
+            for i in range(10)
+        ]
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(cpus).write.mode("overwrite").parquet(
+            os.path.join(synth, "documents.parquet")
+        )
+        for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs"):
+            fn = reg[name][0]
+            entry = {"sf_pairs": counts[name], "sf_sec": timings[name]}
+            if os.path.isdir(small_dir):
+                t0 = time.time()
+                entry["sf_tenth_pairs"] = fn(spark, small_dir).count()
+                entry["sf_tenth_sec"] = round(time.time() - t0, 3)
+                entry["real_growth_10x_docs"] = round(
+                    counts[name] / max(entry["sf_tenth_pairs"], 1), 2
+                )
+            t0 = time.time()
+            entry["synth10x_pairs"] = fn(spark, synth).count()
+            entry["synth10x_sec"] = round(time.time() - t0, 3)
+            entry["synth10x_time_ratio"] = round(
+                entry["synth10x_sec"] / max(timings[name], 0.01), 2
+            )
+            pair_stress[name] = entry
+    finally:
+        shutil.rmtree(synth, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -124,6 +179,7 @@ def main() -> None:
                 "ingest_events": n_events,
                 "ingest_events_per_sec": round(events_per_sec, 1),
                 "cpus": cpus,
+                "pair_stress": pair_stress,
             }
         )
     )

@@ -20,6 +20,18 @@ from ._portable import (
 K_MINHASH = 16
 BANDS = 4  # 4 rows per band
 SIMHASH_BITS = 16
+#: shingle width for the MinHash family. 3-gram shingles make natural text
+#: look self-similar (common trigrams dominate the min-hashes): measured at
+#: sf0.1 they produced 7.46M candidate pairs from 5,000 docs — 60% of ALL
+#: pairs, i.e. the banding was degenerate. 5-gram shingles restore
+#: discrimination; the DuckDB oracle uses the same width.
+MINHASH_SHINGLE_N = 5
+#: band buckets holding more docs than this are dropped before the pair
+#: join (a bucket that common carries no near-dup signal — usually empty or
+#: boilerplate documents — while contributing k^2/2 join rows). Mirrored in
+#: the oracle SQL, so it is part of the operator's semantics, not a silent
+#: truncation.
+MAX_BAND_DOCS = 1024
 
 
 def _docs(spark, sf_dir):
@@ -48,13 +60,15 @@ FROM documents GROUP BY 1 ORDER BY 1
 def _spark_shingle_hashes(spark, sf_dir):
     d = _docs(spark, sf_dir)
     sh = d.select(
-        "doc_id", F.explode(F.expr(spark_shingles("text"))).alias("sh")
+        "doc_id",
+        F.explode(F.expr(spark_shingles("text", MINHASH_SHINGLE_N))).alias("sh"),
     )
     return sh.select("doc_id", F.expr(spark_poly_hash("sh")).alias("h"))
 
 
 _DUCK_SHINGLE_HASHES = f"""
-sh AS (SELECT doc_id, unnest({duck_shingles('text')}) AS sh FROM documents),
+sh AS (SELECT doc_id, unnest({duck_shingles('text', MINHASH_SHINGLE_N)}) AS sh
+       FROM documents),
 hs AS (SELECT doc_id, {duck_poly_hash('sh')} AS h FROM sh)
 """
 
@@ -97,6 +111,16 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     banded = bands[0]
     for b in bands[1:]:
         banded = banded.unionByName(b)
+    # degenerate-bucket guard (MAX_BAND_DOCS): one partial-aggregated
+    # groupBy over the band keys, then an equi-join filter — both shuffle on
+    # the same key the pair join uses
+    ok = (
+        banded.groupBy("band", "bkey")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= MAX_BAND_DOCS)
+        .select("band", "bkey")
+    )
+    banded = banded.join(ok, ["band", "bkey"])
     a = banded.alias("a")
     b = banded.alias("b")
     pairs = (
@@ -128,7 +152,10 @@ def sql_minhash_lsh_pairs() -> str:
     return f"""
 WITH {_DUCK_SHINGLE_HASHES},
 sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
-banded AS ({banded})
+banded0 AS ({banded}),
+ok AS (SELECT band, bkey FROM banded0 GROUP BY band, bkey
+       HAVING count(*) <= {MAX_BAND_DOCS}),
+banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bkey))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
 WHERE a.doc_id < b.doc_id
@@ -184,11 +211,18 @@ SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v ORDER BY doc_id
 
 # ---------------------------------------------------------- n-gram jaccard
 JACCARD_THRESHOLD = 0.2
-#: shingles appearing in more than this many docs of a source are dropped
-#: BEFORE the pair join (each shingle shared by k docs yields k^2/2 pair
-#: rows, so stop-shingles dominate cost while carrying no dedup signal);
-#: set sizes use the same filtered sets so Jaccard stays a true ratio
+#: stop-shingle cap: shingles appearing in more than
+#: max(MAX_SHINGLE_DF, REL_SHINGLE_DF * |source|) docs of a source are
+#: dropped BEFORE the pair join (each shingle shared by k docs yields k^2/2
+#: pair rows, so stop-shingles dominate cost while carrying no dedup
+#: signal); set sizes use the same filtered sets so Jaccard stays a true
+#: ratio. The cap is RELATIVE to the source's doc count: a fixed cap
+#: silently redefines "rare" as the corpus grows (measured at 10x sf0.1 it
+#: shrank shingle sets enough to inflate pairs 7.5x over linear); the
+#: relative form keeps the operator's semantics scale-invariant while the
+#: absolute floor keeps small corpora exact.
 MAX_SHINGLE_DF = 64
+REL_SHINGLE_DF = 0.01
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -206,10 +240,16 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     ).select(
         "doc_id", "source", F.expr(spark_poly_hash("sh0")).alias("sh")
     )
+    src_n = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    cap = F.greatest(
+        F.lit(MAX_SHINGLE_DF),
+        F.ceil(F.lit(REL_SHINGLE_DF) * F.col("n_docs")),
+    )
     rare = (
         sh.groupBy("source", "sh")
         .agg(F.count("*").alias("df"))
-        .filter(F.col("df") <= MAX_SHINGLE_DF)
+        .join(F.broadcast(src_n), "source")  # O(sources) rows
+        .filter(F.col("df") <= cap)
         .select("source", "sh")
     )
     sh = sh.join(rare, ["source", "sh"])
@@ -246,8 +286,12 @@ def sql_ngram_jaccard_pairs() -> str:
 WITH sh0 AS (
   SELECT doc_id, source, unnest({duck_shingles('text')}) AS sh0 FROM documents),
 shall AS (SELECT doc_id, source, {duck_poly_hash('sh0')} AS sh FROM sh0),
-rare AS (SELECT source, sh FROM shall GROUP BY source, sh
-         HAVING count(*) <= {MAX_SHINGLE_DF}),
+srcn AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+rare AS (SELECT shall.source, sh
+         FROM shall JOIN srcn USING (source)
+         GROUP BY shall.source, sh
+         HAVING count(*) <= greatest({MAX_SHINGLE_DF},
+                CAST(ceil({REL_SHINGLE_DF} * max(n_docs)) AS BIGINT))),
 sh AS (SELECT shall.* FROM shall JOIN rare USING (source, sh)),
 sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
 inter AS (
