@@ -89,13 +89,13 @@ def _proj_sign(d: int, j: int) -> int:
     return 1 if ((d * 31 + j * 17) % 7) < 3 else -1
 
 
-def q_ann_lsh_buckets(spark, sf_dir, dim: int | None = None):
+def q_ann_lsh_buckets(spark, sf_dir, dim: int = 64):
     """ANN scale path: sign-projection LSH bucket per vector (ANN_BITS sign
     bits of deterministic ±1 projections). Search = equi-join on bucket, so
-    at 100 TB candidates shuffle by bucket key instead of all-pairs."""
+    at 100 TB candidates shuffle by bucket key instead of all-pairs. ``dim``
+    is part of the operator config (EMB_DIM for the testdata) — never
+    discovered with a driver-side read."""
     e = _emb(spark, sf_dir)
-    if dim is None:
-        dim = len(e.select("embedding").first()[0])
     v = F.col("embedding").cast("array<double>")
     bucket = F.lit(0)
     for j in range(ANN_BITS):

@@ -27,12 +27,91 @@ from pyspark.sql.streaming import StreamingQueryListener
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 
+class StatsEmitter:
+    """Push-style operational stats over the plain statsd/DogStatsD UDP wire
+    format — the reference's ``Stats`` (``cdc/utils/stats.py:17-65``:
+    sampled ``cdc.message_flushed`` / ``cdc.task_executed`` timings),
+    implemented directly on a UDP socket (the wire format is
+    ``ns.metric:<ms>|ms|@<rate>|#tag:v``; no client library needed).
+
+    Emission is fire-and-forget: socket errors are swallowed exactly like
+    the reference's ``logger.exception`` path — live ops telemetry must
+    never fail the pipeline. The exact, queryable lineage/metrics table
+    (``CdcApply.metrics``) remains the source of truth; this is the
+    complementary live feed the round-1 review flagged as missing."""
+
+    MESSAGE_FLUSHED_METRIC = "message_flushed"
+    TASK_EXECUTED_TIME_METRIC = "task_executed"
+
+    def __init__(
+        self,
+        host: str,
+        port: int,
+        namespace: str = "cdc",
+        message_sampling_rate: float = 1.0,
+        task_sampling_rate: float = 1.0,
+    ):
+        import socket
+
+        self._addr = (host, port)
+        self._ns = namespace
+        self._sock = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+        self._msg_rate = message_sampling_rate
+        self._task_rate = task_sampling_rate
+
+    def timing(
+        self,
+        metric: str,
+        duration_ms: int,
+        sample_rate: float = 1.0,
+        tags: list[str] | None = None,
+    ) -> None:
+        import random
+
+        if sample_rate < 1.0 and random.random() >= sample_rate:
+            return
+        msg = f"{self._ns}.{metric}:{int(duration_ms)}|ms"
+        if sample_rate < 1.0:
+            msg += f"|@{sample_rate}"
+        if tags:
+            msg += "|#" + ",".join(tags)
+        try:
+            self._sock.sendto(msg.encode("utf-8"), self._addr)
+        except OSError:
+            pass  # fire-and-forget (reference stats.py:61-65)
+
+    def message_flushed(self, start: float) -> None:
+        import time
+
+        self.timing(
+            self.MESSAGE_FLUSHED_METRIC,
+            int((time.time() - start) * 1000),
+            self._msg_rate,
+        )
+
+    def task_executed(self, start: float, tasktype: str) -> None:
+        import time
+
+        self.timing(
+            self.TASK_EXECUTED_TIME_METRIC,
+            int((time.time() - start) * 1000),
+            self._task_rate,
+            tags=[f"tasktype:{tasktype}"],
+        )
+
+    def close(self) -> None:
+        self._sock.close()
+
+
 class ProgressRecorder(StreamingQueryListener):
     """Append one row per finished microbatch to ``path`` (parquet, written
-    driver-side via pandas — the volume is one row per trigger)."""
+    driver-side via pandas — the volume is one row per trigger). Pass a
+    ``StatsEmitter`` to ALSO push each batch duration as a live
+    ``task_executed`` timing (tasktype:microbatch)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, emitter: StatsEmitter | None = None):
         self.path = path
+        self.emitter = emitter
         os.makedirs(path, exist_ok=True)
         self._n = 0
 
@@ -52,6 +131,13 @@ class ProgressRecorder(StreamingQueryListener):
             os.path.join(self.path, f"progress-{p.batchId}-{self._n}.parquet")
         )
         self._n += 1
+        if self.emitter is not None and row["batch_duration_ms"] is not None:
+            self.emitter.timing(
+                StatsEmitter.TASK_EXECUTED_TIME_METRIC,
+                row["batch_duration_ms"],
+                self.emitter._task_rate,
+                tags=["tasktype:microbatch"],
+            )
 
     def onQueryIdle(self, event: Any) -> None:  # noqa: N802
         pass

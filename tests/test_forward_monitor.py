@@ -126,3 +126,38 @@ def test_lsn_gap_monitor(spark, tmpdir_factory_clean):
     assert (40, 49) in got
     # nothing below 40 is a gap (dups are benign)
     assert all(s >= 40 for s, _ in got)
+
+
+def test_stats_emitter_statsd_wire():
+    """Push-style live stats: DogStatsD wire format over UDP loopback
+    (reference cdc/utils/stats.py:17-65 — sampled timings; errors are
+    fire-and-forget)."""
+    import socket
+    import time
+
+    from cdc_spark.monitor import StatsEmitter
+
+    rx = socket.socket(socket.AF_INET, socket.SOCK_DGRAM)
+    rx.bind(("127.0.0.1", 0))
+    rx.settimeout(5)
+    port = rx.getsockname()[1]
+    em = StatsEmitter("127.0.0.1", port, namespace="cdc")
+    em.message_flushed(time.time() - 0.25)
+    msg = rx.recv(1024).decode()
+    assert msg.startswith("cdc.message_flushed:")
+    assert msg.endswith("|ms")
+    assert 200 <= int(msg.split(":")[1].split("|")[0]) < 1500
+    em.task_executed(time.time() - 0.1, "merge")
+    msg2 = rx.recv(1024).decode()
+    assert msg2.startswith("cdc.task_executed:")
+    assert msg2.endswith("|#tasktype:merge")
+    # sampling rate encodes on the wire
+    em.timing("x", 42, sample_rate=0.999)
+    msg3 = rx.recv(1024).decode()
+    assert msg3 == "cdc.x:42|ms|@0.999"
+    # fire-and-forget: closed socket must not raise
+    em.close()
+    em2 = StatsEmitter("127.0.0.1", port)
+    em2._sock.close()
+    em2.timing("y", 1)  # no raise
+    rx.close()
