@@ -120,6 +120,23 @@ def q_lww_dedup_salted(spark, sf_dir):
     )
 
 
+def q_lww_dedup_narrow(spark, sf_dir):
+    """A2 narrow variant — shuffles only (key, lsn), recovers the wide
+    payload via broadcast semi-join; must be result-identical to
+    q_lww_dedup (same oracle)."""
+    from .dedup import lww_dedup_narrow
+
+    chg = change_view(spark, sf_dir).select("repo", "path", "lsn", "op", "content")
+    out = lww_dedup_narrow(chg, key=("repo", "path"), order_col="lsn")
+    return out.select(
+        "repo",
+        "path",
+        F.col("lsn").alias("last_lsn"),
+        F.col("op").alias("last_op"),
+        F.col("content").alias("last_content"),
+    )
+
+
 def q_cdc_materialize(spark, sf_dir):
     """E1 (batch-expressible MERGE): full change-log materialization — per-key
     LWW state, deletes filtered. The flagship query."""
@@ -414,6 +431,7 @@ FROM last GROUP BY 1 ORDER BY 1
 _ENGINE_QUERIES = {
     "lww_dedup": (q_lww_dedup, SQL_LWW),
     "lww_dedup_salted": (q_lww_dedup_salted, SQL_LWW),
+    "lww_dedup_narrow": (q_lww_dedup_narrow, SQL_LWW),
     "cdc_materialize": (q_cdc_materialize, SQL_MATERIALIZE),
     "dup_collapse": (q_dup_collapse, SQL_DUP_COLLAPSE),
     "lsn_watermark": (q_lsn_watermark, SQL_WATERMARK),
