@@ -20,7 +20,6 @@ This is the consumer the reference leaves as ``NotImplementedError``
 
 from __future__ import annotations
 
-import json
 import os
 import time
 
@@ -45,28 +44,9 @@ METRICS_DDL = (
 )
 
 
-def evolve_fields(
-    fields: list[tuple[str, str]], change: dict, key: tuple[str, ...]
-) -> list[tuple[str, str]]:
-    """Apply one schema-change event to a field list.
-
-    The reference handles DDL operationally — a fresh snapshot signalled over
-    the control topic (``cdc/snapshots/control_protocol.py:21-54``); the
-    engine upgrades this to in-stream, LSN-ordered evolution. Key columns are
-    immutable (they define row identity)."""
-    action, column = change["action"], change["column"]
-    if column in key:
-        raise ValueError(f"cannot {action} key column {column}")
-    names = [n for n, _ in fields]
-    if action == "add":
-        if column in names:
-            raise ValueError(f"add: column {column} already exists")
-        return fields + [(column, change.get("type", "string"))]
-    if action == "drop":
-        return [f for f in fields if f[0] != column]
-    if action == "retype":
-        return [(n, change["type"] if n == column else t) for n, t in fields]
-    raise ValueError(f"unknown schema change action {action!r}")
+# schema-evolution mechanics live beside the manifest logic; re-exported
+# here for the historical import path
+from .lake import evolve_fields, replay_changes  # noqa: E402,F401
 
 
 class CdcApply:
@@ -177,11 +157,16 @@ class CdcApply:
             history[c_lsn] = c_json
             new_history = True
         all_changes = sorted(history.items())
-        parsed_changes = [json.loads(c) for _, c in all_changes]
-        epochs = [(-1, lake.schema_fields(0))]  # (lower_lsn, fields)
-        for (c_lsn, _), ch in zip(all_changes, parsed_changes):
-            epochs.append((c_lsn, evolve_fields(epochs[-1][1], ch, key)))
-        final_fields = epochs[-1][1]
+        # invalid control payloads (unparseable JSON, add of an existing
+        # column, any action on a key column, unknown action) are SKIPPED,
+        # not raised: a poison control frame must not crash-loop the stream
+        # (same policy as the reference's GenericMessage fallback). The skip
+        # is deterministic — every reader replays the same raw history
+        # through lake.replay_changes, and the oracle (oracle.replay)
+        # applies the identical rule.
+        final_fields, aligned, epochs = replay_changes(
+            lake.schema_fields(0), all_changes, key
+        )
         changes = new_history  # did the schema state move this batch?
 
         # final schema -> id: reuse an existing entry when fields match,
@@ -211,13 +196,15 @@ class CdcApply:
         # -- epoch projection into the batch-final schema (E3)
         base = set(BASE_COLUMNS)
         parts = []
-        for i, (lb, fields) in enumerate(epochs):
+        for i, (lb, fields, aidx) in enumerate(epochs):
             ub = epochs[i + 1][0] if i + 1 < len(epochs) else None
             sub = data.filter(F.col("lsn") > F.lit(lb)) if lb >= 0 else data
             if ub is not None:
                 sub = sub.filter(F.col("lsn") < F.lit(ub))
             epoch_types = dict(fields)
-            tail = parsed_changes[i:]  # changes applied after this epoch
+            # valid changes applied after this epoch (aligned index skips
+            # the invalid entries)
+            tail = [c for c in aligned[aidx:] if c is not None]
             is_del = F.col("op") == "delete"
             exprs = [F.col(f"`{k}`") for k in key]
             for name, t_final in final_fields:

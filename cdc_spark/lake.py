@@ -69,6 +69,64 @@ class ConcurrentCommitError(RuntimeError):
     """Another writer published this version first; refresh and retry."""
 
 
+def evolve_fields(
+    fields: list[tuple[str, str]], change: dict, key: tuple[str, ...]
+) -> list[tuple[str, str]]:
+    """Apply one schema-change event to a field list.
+
+    The reference handles DDL operationally — a fresh snapshot signalled over
+    the control topic (``cdc/snapshots/control_protocol.py:21-54``); the
+    engine upgrades this to in-stream, LSN-ordered evolution. Key columns are
+    immutable (they define row identity)."""
+    action, column = change["action"], change["column"]
+    if column in key:
+        raise ValueError(f"cannot {action} key column {column}")
+    names = [n for n, _ in fields]
+    if action == "add":
+        if column in names:
+            raise ValueError(f"add: column {column} already exists")
+        return fields + [(column, change.get("type", "string"))]
+    if action == "drop":
+        return [f for f in fields if f[0] != column]
+    if action == "retype":
+        return [(n, change["type"] if n == column else t) for n, t in fields]
+    raise ValueError(f"unknown schema change action {action!r}")
+
+
+def replay_changes(
+    base_fields: list[tuple[str, str]],
+    raw_pairs: list,
+    key: tuple[str, ...],
+) -> tuple[list[tuple[str, str]], list, list]:
+    """Replay the raw ``(lsn, change_json)`` history from the base schema.
+
+    Invalid payloads (unparseable JSON, add of an existing column, any
+    action on a key column, unknown action) are SKIPPED deterministically —
+    a poison control frame must never crash-loop the stream, and because
+    validity depends on the state at the replay point (a late-arriving
+    earlier change can flip it), the RAW history is what the manifest
+    stores and every reader re-derives validity with this one function.
+
+    Returns ``(final_fields, aligned, epochs)`` where ``aligned[i]`` is the
+    parsed dict for ``raw_pairs[i]`` or None if skipped (so per-file
+    ``change_idx`` values keep indexing the raw history), and ``epochs`` is
+    ``[(lower_lsn, fields, aligned_upper_idx)]`` — rows with
+    ``lsn > lower_lsn`` (and below the next epoch's) were written under
+    ``fields``, with ``aligned[aligned_upper_idx:]`` still ahead of them."""
+    aligned: list = []
+    epochs = [(-1, list(base_fields), 0)]
+    for i, (c_lsn, c_json) in enumerate(raw_pairs):
+        try:
+            ch = json.loads(c_json)
+            nxt = evolve_fields(epochs[-1][1], ch, key)
+        except (ValueError, TypeError, KeyError):
+            aligned.append(None)
+            continue
+        aligned.append(ch)
+        epochs.append((int(c_lsn), nxt, i + 1))
+    return epochs[-1][1], aligned, epochs
+
+
 def sql_type(t: str) -> str:
     if t in _SQL_TYPES:
         return _SQL_TYPES[t]
@@ -107,7 +165,7 @@ def chain_for_column(
     mode = "value" if present else "absent"
     casts = list(start_casts)
     for ch in tail:
-        if ch.get("column") != name:
+        if ch is None or ch.get("column") != name:
             continue
         action = ch["action"]
         if action == "retype":
@@ -299,9 +357,20 @@ class LakeTable:
         raise KeyError(f"unknown schema_id {sid}")
 
     # -------------------------------------------------------------- reading
-    def _parsed_changes(self, meta: dict | None = None) -> list[dict]:
-        pairs = (meta or self._meta).get("schema_changes", [])
-        return [json.loads(c) for _, c in pairs]
+    def _parsed_changes(self, meta: dict | None = None) -> list:
+        """The manifest's raw change history replayed through the validity
+        filter — an ALIGNED list (None = skipped entry) so per-file
+        ``change_idx`` values index it directly."""
+        m = meta or self._meta
+        base = next(
+            [tuple(f) for f in s["fields"]]
+            for s in m["schemas"]
+            if s["schema_id"] == 0
+        )
+        _, aligned, _ = replay_changes(
+            base, m.get("schema_changes", []), tuple(m["key"])
+        )
+        return aligned
 
     def _read_files(
         self,
@@ -435,7 +504,12 @@ class LakeTable:
             if new_schema_changes is not None
             else cur.get("schema_changes", [])
         )
-        parsed_changes = [json.loads(c) for _, c in history]
+        base0 = next(
+            [tuple(f) for f in s["fields"]]
+            for s in cur["schemas"]
+            if s["schema_id"] == 0
+        )
+        _, parsed_changes, _ = replay_changes(base0, history, self.key)
         change_idx = len(history)
         files: list[dict] = []
         rewritten, affected = 0, []
@@ -621,11 +695,22 @@ class LakeTable:
         self._meta = meta
         return {"version": new_version, "compacted": len(files)}
 
-    def expire_snapshots(self, keep_last: int = 2) -> dict:
+    def expire_snapshots(
+        self, keep_last: int = 2, orphan_grace_s: float = 3600.0
+    ) -> dict:
         """Retention: drop manifests older than the newest ``keep_last`` and
         delete data files referenced only by them (Iceberg expire_snapshots
         semantics — the engine analog of the reference's WAL reclamation via
-        ``send_feedback``, which lets Postgres discard acked segments)."""
+        ``send_feedback``, which lets Postgres discard acked segments).
+
+        Also GCs ORPHAN data files — files under ``data/`` referenced by no
+        manifest at all: the staging leftovers of crashed or
+        concurrency-losing writers (each merge attempt stages under a unique
+        dir, so a loser's files are guaranteed unreferenced). Only files
+        older than ``orphan_grace_s`` are touched, so an in-flight writer's
+        fresh staging dir is never swept from under it."""
+        import time as _time
+
         mdir = os.path.join(self.root, "metadata")
         versions = sorted(
             int(f[1:-5])
@@ -646,6 +731,24 @@ class LakeTable:
                         os.unlink(p)
                         removed += 1
             os.unlink(os.path.join(mdir, f"v{v}.json"))
+        # orphan sweep: anything on disk no remaining manifest references
+        referenced = set(live_files)
+        data_root = os.path.join(self.root, "data")
+        orphans_removed = 0
+        cutoff = _time.time() - orphan_grace_s
+        if os.path.isdir(data_root):
+            for dirpath, _dirs, files in os.walk(data_root):
+                for fn in files:
+                    full = os.path.join(dirpath, fn)
+                    rel = os.path.relpath(full, self.root)
+                    if rel in referenced:
+                        continue
+                    try:
+                        if os.path.getmtime(full) <= cutoff:
+                            os.unlink(full)
+                            orphans_removed += 1
+                    except OSError:
+                        pass  # concurrent sweep / writer finishing up
         # sweep now-empty data dirs
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
@@ -661,7 +764,11 @@ class LakeTable:
                         shutil.rmtree(subp, ignore_errors=True)
                 if not os.listdir(full):
                     os.rmdir(full)
-        return {"expired_versions": drop, "files_removed": removed}
+        return {
+            "expired_versions": drop,
+            "files_removed": removed,
+            "orphans_removed": orphans_removed,
+        }
 
     def snapshot_log(self) -> list[dict]:
         """All manifests oldest-first (time travel / lineage audit)."""

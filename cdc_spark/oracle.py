@@ -144,9 +144,19 @@ def replay(
         if op in ("begin", "commit", "generic"):
             continue
         if op == "schema_change":
-            ch = json.loads(row.schema_change)
-            action, column = ch["action"], ch["column"]
-            if action == "add":
+            # mirror the engine's poison-tolerance (lake.replay_changes):
+            # unparseable JSON, add of an existing column, key-column
+            # actions, unknown actions, and retype/drop of a missing column
+            # are skipped, never fatal
+            try:
+                ch = json.loads(row.schema_change)
+                action, column = ch["action"], ch["column"]
+            except (ValueError, TypeError, KeyError):
+                continue
+            if column in key:
+                continue
+            names = [n for n, _ in fields]
+            if action == "add" and column not in names:
                 fields = fields + [(column, ch.get("type", "string"))]
                 for st in state.values():
                     st[column] = None
@@ -154,7 +164,7 @@ def replay(
                 fields = [f for f in fields if f[0] != column]
                 for st in state.values():
                     st.pop(column, None)
-            elif action == "retype":
+            elif action == "retype" and column in names and "type" in ch:
                 old_t = dict(fields)[column]
                 new_t = ch["type"]
                 fields = [

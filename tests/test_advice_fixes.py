@@ -82,6 +82,18 @@ def test_concurrent_commit_loser_does_not_clobber(spark, tmpdir_factory_clean):
     lake_b.refresh()
     lake_b.merge(batch_b, batch_id=1, lsn_hwm=2)
     assert sorted(r["content"] for r in lake_b.read().collect()) == ["AAA", "BBB"]
+    # the loser's staged files are orphans; expire_snapshots GCs them while
+    # every referenced file survives
+    import glob
+
+    n_files_before = len(glob.glob(os.path.join(root, "data", "*", "*", "*.parquet")))
+    info = lake_b.expire_snapshots(keep_last=10, orphan_grace_s=0)
+    assert info["orphans_removed"] >= 1
+    n_files_after = len(glob.glob(os.path.join(root, "data", "*", "*", "*.parquet")))
+    assert n_files_after < n_files_before
+    assert sorted(r["content"] for r in lake_b.refresh().read().collect()) == [
+        "AAA", "BBB",
+    ]
 
 
 _CHAIN = {
@@ -151,3 +163,40 @@ def test_table_unescape_only_reference_escapes(spark):
     assert out[1] == ("a\\b", "{}")
     assert out[2] == ("a|b", "{}")
     assert out[3] == (r"a\nb", "{}")
+
+
+def test_poison_schema_change_payloads_are_skipped(spark, tmpdir_factory_clean):
+    """Malformed control payloads (bad JSON, add of an existing column, a
+    key-column action, unknown action) must be skipped deterministically —
+    not crash-loop the stream — and the oracle applies the identical rule."""
+    root = tmpdir_factory_clean("poison")
+    valid = {600: {"action": "add", "column": "stars", "type": "long"}}
+    log = change_log(
+        spark, 1500, n_repos=10, n_paths=4, schema_changes=valid, seed=101
+    )
+    poison_rows = [
+        (9101, "schema_change", "repos", None, None, None, None, None, None,
+         "{not json"),
+        (9102, "schema_change", "repos", None, None, None, None, None, None,
+         json.dumps({"action": "add", "column": "lang"})),       # dup add
+        (9103, "schema_change", "repos", None, None, None, None, None, None,
+         json.dumps({"action": "drop", "column": "repo"})),      # key column
+        (9104, "schema_change", "repos", None, None, None, None, None, None,
+         json.dumps({"action": "rename", "column": "lang"})),    # unknown
+        (9105, "schema_change", "repos", None, None, None, None, None, None,
+         json.dumps({"action": "retype", "column": "ghost", "type": "long"})),
+    ]
+    poison = spark.createDataFrame(poison_rows, ENVELOPE_DDL)
+    full = log.unionByName(poison)
+    cfg = _cfg(root)
+    applier = CdcApply(spark, cfg)
+    applier.apply_batch(full.filter(F.col("lsn") <= 800), 0)
+    applier.apply_batch(full.filter(F.col("lsn") > 800), 1)  # must not raise
+    lake = applier.lake_for("repos")
+    # the valid add applied; the poison did not corrupt the schema
+    assert [n for n, _ in lake.schema_fields()] == [
+        "repo", "path", "commit", "lang", "content", "stars"
+    ]
+    want = replay(full.toPandas(), cfg.base_fields)
+    assert want["stars"].notna().any()
+    assert_matches(lake.read().toPandas(), want)
