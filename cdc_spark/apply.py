@@ -104,6 +104,12 @@ class CdcApply:
                             )
                         )
                     ).alias("changes"),
+                    # HLL distinct-key estimate rides the SAME aggregation —
+                    # it feeds the narrow-dedup broadcast guard at zero
+                    # extra jobs (rsd 5%; the guard adds 10% headroom)
+                    F.approx_count_distinct(
+                        F.concat_ws(chr(31), *self.cfg.key), 0.05
+                    ).alias("n_keys_est"),
                 )
                 .collect()
             )
@@ -256,6 +262,7 @@ class CdcApply:
                 order_col="_lsn",
                 salt=self.cfg.salt,
                 broadcast_max_rows=self.cfg.dedup_broadcast_max_rows,
+                estimated_winners=int(ctrl["n_keys_est"]),
             )
         else:
             deduped = lww_dedup(

@@ -86,20 +86,35 @@ def lww_dedup_auto(
     *,
     salt: int = 1,
     broadcast_max_rows: int = 5_000_000,
+    estimated_winners: int | None = None,
 ) -> tuple[DataFrame, str, DataFrame | None]:
     """Narrow LWW dedup with a broadcast-budget guard.
 
     The narrow variant broadcasts the per-key winner set; a batch with more
-    distinct keys than fits executor memory would kill the job. This wrapper
-    counts the winner set first (a narrow (key, lsn)-only job — payload bytes
-    never move) and falls back to the wide ``lww_dedup`` reduce when winners
-    exceed ``broadcast_max_rows`` — the same auto-pick discipline as the
-    merge's ``batch_rows``/``broadcast_max_rows`` strategy switch.
+    distinct keys than fits executor memory would kill the job. The guard
+    compares the winner count against ``broadcast_max_rows`` and falls back
+    to the wide ``lww_dedup`` reduce when over budget — the same auto-pick
+    discipline as the merge's ``batch_rows`` strategy switch.
+
+    ``estimated_winners`` lets the caller supply a distinct-key estimate it
+    already has (the apply pipeline folds an HLL ``approx_count_distinct``
+    into its existing control aggregation — ZERO extra jobs); the estimate
+    is compared with 10% headroom to absorb HLL error. Without an estimate
+    the winner set is counted exactly (one narrow (key, lsn)-only job) and
+    the materialized cache is reused for the broadcast.
 
     Returns ``(deduped, strategy, cached)`` where strategy is ``"narrow"``
     or ``"wide"`` and ``cached`` is the persisted winner frame the caller
-    must unpersist after materializing the result (None on the wide path).
-    """
+    must unpersist after materializing the result (None when no cache was
+    needed)."""
+    if estimated_winners is not None:
+        if estimated_winners <= broadcast_max_rows * 0.9:
+            return (
+                lww_dedup_narrow(df, key=key, order_col=order_col),
+                "narrow",
+                None,
+            )
+        return lww_dedup(df, key=key, order_col=order_col, salt=salt), "wide", None
     winners = (
         df.select(*key, order_col)
         .groupBy(*key)
