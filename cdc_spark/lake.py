@@ -10,13 +10,23 @@ success marker, ``file_snapshot.py:113-119``).
 
 Layout (one table per directory):
 
-    <root>/metadata/v<N>.json      -- snapshot manifests, atomic rename publish
-    <root>/data/v<N>/_bucket=K/*.parquet
+    <root>/metadata/v<N>.json               -- manifests, atomic link publish
+    <root>/data/v<N>-<attempt>/_bucket=K/*.parquet
+                                            -- per-ATTEMPT staging dirs: a
+                                               writer losing the manifest
+                                               race leaves orphans (GC'd by
+                                               expire_snapshots), never
+                                               clobbers the winner
 
 Manifest fields:
     version, table, key, n_buckets,
     schema_id, schemas        -- full schema-version history (E3)
-    files                     -- [{path, bucket, schema_id}]  (paths rel. root)
+    schema_changes            -- RAW (lsn, change_json) history; validity is
+                                 re-derived on every read via replay_changes
+    files                     -- [{path, bucket, schema_id, change_idx}]
+                                 (paths rel. root; change_idx = how much of
+                                 the change history was applied at write
+                                 time, for stepwise retype-chain folding)
     truncate_lsn              -- table-truncate watermark (O(1) truncate)
     last_batch                -- {id, lsn_hwm}: idempotent-commit key (E2);
                                  commits are keyed by (checkpoint epoch,

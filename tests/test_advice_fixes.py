@@ -200,3 +200,27 @@ def test_poison_schema_change_payloads_are_skipped(spark, tmpdir_factory_clean):
     want = replay(full.toPandas(), cfg.base_fields)
     assert want["stars"].notna().any()
     assert_matches(lake.read().toPandas(), want)
+
+
+def test_time_travel_projects_under_that_versions_changes(spark, tmpdir_factory_clean):
+    """read(version=) on an evolved table must project files under THAT
+    manifest's change history: before the retypes, stars reads back as the
+    original strings; at head, the lossy chain yields NULLs."""
+    root = tmpdir_factory_clean("tt")
+    log = change_log(
+        spark, 2000, n_repos=12, n_paths=4, schema_changes=_CHAIN, seed=41
+    )
+    cfg = _cfg(root)
+    applier = CdcApply(spark, cfg)
+    applier.apply_batch(log.filter(F.col("lsn") <= 900), 0)   # add only
+    lake = applier.lake_for("repos")
+    v_before = lake.version
+    applier.apply_batch(log.filter(F.col("lsn") > 900), 1)    # both retypes
+    lake.refresh()
+
+    old = lake.read(version=v_before).toPandas()
+    assert old["stars"].notna().any()
+    assert old["stars"].map(lambda v: v is None or v.startswith("stars-")).all()
+    head = lake.read().toPandas()
+    want = replay(log.toPandas(), cfg.base_fields)
+    assert_matches(head, want)
