@@ -141,6 +141,42 @@ def snapshot_boundary_filter(df: DataFrame, lake: LakeTable) -> DataFrame:
     return df.filter(F.col("lsn") > F.lit(lake.last_batch["lsn_hwm"]))
 
 
+# ---------------------------------------------------------- coordination
+
+
+def coordinate_snapshot(
+    lakes: "LakeTable | dict[str, LakeTable]",
+    out_root: str,
+    snapshot_id: str,
+    control_sink,
+    product: str = "cdc",
+    compress: bool = True,
+    columns: dict[str, list[dict]] | None = None,
+) -> str:
+    """The reference SnapshotCoordinator's choreography
+    (``snapshot_coordinator.py:44-60``): announce snapshot-init on the
+    control channel, dump every table, then announce snapshot-loaded with
+    the transaction descriptor — or snapshot-abort if the dump fails.
+    ``control_sink`` is any callable taking the wire-format bytes (a Kafka
+    producer send, a file append, a test list)."""
+    if isinstance(lakes, LakeTable):
+        lakes = {lakes.meta["table"]: lakes}
+    control_sink(
+        init_snapshot_message(snapshot_id, sorted(lakes), product)
+    )
+    try:
+        dest = export_csv(
+            lakes, out_root, snapshot_id, product=product,
+            compress=compress, columns=columns,
+        )
+    except Exception:
+        control_sink(abort_snapshot_message(snapshot_id))
+        raise
+    hwm = max(lk.last_batch["lsn_hwm"] for lk in lakes.values())
+    control_sink(loaded_snapshot_message(snapshot_id, product, hwm))
+    return dest
+
+
 # ---------------------------------------------------------------- CSV export
 
 

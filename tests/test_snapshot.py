@@ -173,3 +173,45 @@ def test_formatter_projection(spark):
     ).select(F.col("ts").cast("timestamp").alias("ts"))
     out = project_columns(df, [{"name": "ts", "formatter": "datetime"}])
     assert str(out.collect()[0]["ts"]) == "2024-01-02 03:04:05"
+
+
+def test_coordinate_snapshot_control_choreography(spark, tmpdir_factory_clean):
+    """init -> dump -> loaded on success; init -> abort on failure
+    (reference snapshot_coordinator.py:44-60)."""
+    from cdc_spark.lake import LakeTable
+    from cdc_spark.snapshot import coordinate_snapshot
+
+    root = tmpdir_factory_clean("coord")
+    lake = LakeTable.create(
+        spark, os.path.join(root, "t1"),
+        fields=[("a", "long"), ("b", "string")], key=("a",), n_buckets=2,
+        table="t1",
+    )
+    lake.merge(
+        spark.createDataFrame(
+            [(1, "x", 5, False, None)],
+            "a BIGINT, b STRING, _lsn BIGINT, _deleted BOOLEAN, "
+            "_extra MAP<STRING,STRING>",
+        ),
+        batch_id=0, lsn_hwm=5,
+    )
+    msgs = []
+    dest = coordinate_snapshot(
+        {"t1": lake}, root, "c1", msgs.append, product="p"
+    )
+    events = [json.loads(m)["event"] for m in msgs]
+    assert events == ["snapshot-init", "snapshot-loaded"]
+    assert json.loads(msgs[1])["transaction-info"] == {"lsn-watermark": 5}
+    assert os.path.exists(os.path.join(dest, "complete.json"))
+
+    # failure path: unwritable output root -> abort announced, raised
+    msgs2 = []
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        coordinate_snapshot(
+            {"t1": lake}, "/proc/definitely/not/writable", "c2", msgs2.append
+        )
+    assert [json.loads(m)["event"] for m in msgs2] == [
+        "snapshot-init", "snapshot-abort",
+    ]
