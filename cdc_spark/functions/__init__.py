@@ -5,9 +5,9 @@ from __future__ import annotations
 
 
 def registry() -> dict:
-    from . import dedupe, multimodal, similarity, temporal, text
+    from . import dedupe, multimodal, pipeline, similarity, temporal, text
 
     out: dict = {}
-    for mod in (text, dedupe, similarity, multimodal, temporal):
+    for mod in (text, dedupe, similarity, multimodal, temporal, pipeline):
         out.update(mod.registry())
     return out

@@ -1,0 +1,108 @@
+"""A composed training-data prep pipeline — the operators chained the way a
+real corpus-preparation job uses them:
+
+    documents
+      -> quality filter         (quality_score >= QUALITY_MIN)
+      -> exact dedup            (keep min doc_id per md5(text))
+      -> near-dup removal       (MinHash-LSH pairs among survivors; drop the
+                                 higher doc_id of every candidate pair)
+      -> per-source corpus stats (docs kept, total whitespace tokens,
+                                  mean quality)
+
+Every stage reuses the already-oracled building blocks, and the whole
+composition is itself DuckDB-oracled — proving the operators compose without
+engine-specific drift. All joins are equi-joins on doc ids / hashes; the
+only pair-shaped work is the (bounded) LSH candidate set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .dedupe import q_minhash_lsh_pairs, sql_minhash_lsh_pairs
+from .text import q_quality_score, q_token_count, SQL_TOKEN_COUNT, sql_quality_score
+
+QUALITY_MIN = 0.4
+
+
+def q_training_pipeline(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    tokens = q_token_count(spark, sf_dir).select("doc_id", "n_tokens")
+
+    kept = (
+        d.select("doc_id", "source", "text")
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= QUALITY_MIN)
+    )
+    # exact dedup: canonical = min doc_id per content hash
+    canon = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = kept.join(canon, "doc_id", "left_semi")
+
+    # near-dup removal: LSH candidate pairs restricted to survivors; the
+    # higher id of each pair goes (deterministic, engine-independent)
+    ids_a = kept.select(F.col("doc_id").alias("doc_a"))
+    ids_b = kept.select(F.col("doc_id").alias("doc_b"))
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .join(ids_a, "doc_a", "left_semi")
+        .join(ids_b, "doc_b", "left_semi")
+    )
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    final = kept.join(drop, "doc_id", "left_anti")
+
+    # mean quality is aggregated in INTEGER space (quality is already
+    # rounded to 4 decimals, so x1e4 is exact): a float avg rounds
+    # differently across engines on .00005 boundaries — measured at sf0.01
+    q_int = F.round(F.col("quality") * 10000).cast("long")
+    return (
+        final.join(tokens, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.floor(F.sum(q_int) / F.count("*")).cast("long").alias(
+                "mean_quality_x1e4"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_training_pipeline() -> str:
+    quality = sql_quality_score().strip()
+    tokens = SQL_TOKEN_COUNT.strip()
+    pairs = sql_minhash_lsh_pairs().strip()
+    return f"""
+WITH q AS ({quality}),
+tok AS ({tokens}),
+kept0 AS (
+  SELECT d.doc_id, d.source, d.text, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= {QUALITY_MIN}),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+kept AS (SELECT kept0.* FROM kept0 JOIN canon USING (doc_id)),
+pairs AS ({pairs}),
+surv_pairs AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN kept a ON a.doc_id = p.doc_a
+  JOIN kept b ON b.doc_id = p.doc_b),
+dropped AS (SELECT DISTINCT doc_b AS doc_id FROM surv_pairs),
+final AS (SELECT kept.* FROM kept
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+SELECT source, count(*) AS n_docs,
+       CAST(sum(tok.n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(CAST(round(quality * 10000) AS BIGINT)) // count(*) AS BIGINT)
+         AS mean_quality_x1e4
+FROM final JOIN tok USING (doc_id)
+GROUP BY source ORDER BY source
+"""
+
+
+def registry() -> dict:
+    return {
+        "training_pipeline": (q_training_pipeline, sql_training_pipeline()),
+    }

@@ -195,3 +195,24 @@ def test_rate_backend_feeds_consumer_pipeline(spark, tmpdir_factory_clean):
     from cdc_spark.oracle import assert_matches
 
     assert_matches(lake.read().toPandas(), want)
+
+
+def test_training_pipeline_matches_oracle(spark):
+    """The composed prep pipeline (quality filter -> exact dedup -> LSH
+    near-dup removal -> corpus stats) hash-matches DuckDB end to end."""
+    from cdc_spark.functions.pipeline import (
+        q_training_pipeline,
+        sql_training_pipeline,
+    )
+
+    got = q_training_pipeline(spark, SF).toPandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    want = con.execute(sql_training_pipeline()).df()
+    cols = sorted(got.columns)
+    a = got[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    b = want[cols].astype(str).sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert got["n_docs"].sum() > 0
