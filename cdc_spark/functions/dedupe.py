@@ -308,11 +308,67 @@ ORDER BY doc_a, doc_b
 """
 
 
+# --------------------------------------------------------- simhash pairs
+#: max Hamming distance for a SimHash near-dup pair. Candidates are blocked
+#: by byte-band equality (two 8-bit bands of the 16-bit signature): any pair
+#: with Hamming distance <= 1 is GUARANTEED to share a band (pigeonhole);
+#: distance-2 pairs are found when both flips land in one band — documented
+#: LSH-style recall/cost trade, identical in both engines.
+SIMHASH_MAX_HAMMING = 2
+
+
+def q_simhash_neardup_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: byte-band blocked candidate join + exact
+    Hamming confirm (bit_count(xor)). Shuffle is by band value — scales
+    with band collisions, never all-pairs."""
+    sig = q_simhash(spark, sf_dir)
+    hi = F.shiftright("simhash", 8).alias("bval")
+    lo = F.col("simhash").bitwiseAND(F.lit(255)).alias("bval")
+    banded = sig.select("doc_id", "simhash", F.lit(0).alias("band"), hi).unionByName(
+        sig.select("doc_id", "simhash", F.lit(1).alias("band"), lo)
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_simhash_neardup_pairs() -> str:
+    return f"""
+WITH sig AS ({sql_simhash().strip()}),
+banded AS (
+  SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS bval FROM sig
+  UNION ALL
+  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS bval FROM sig)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+WHERE a.doc_id < b.doc_id
+  AND bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
+ORDER BY doc_a, doc_b
+"""
+
+
 def registry() -> dict:
     return {
         "exact_dedup": (q_exact_dedup, SQL_EXACT),
         "minhash_signature": (q_minhash_signature, sql_minhash_signature()),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "simhash": (q_simhash, sql_simhash()),
+        "simhash_neardup_pairs": (
+            q_simhash_neardup_pairs,
+            sql_simhash_neardup_pairs(),
+        ),
         "ngram_jaccard_pairs": (q_ngram_jaccard_pairs, sql_ngram_jaccard_pairs()),
     }
