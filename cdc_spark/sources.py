@@ -88,6 +88,23 @@ def rate_source(spark: SparkSession, cfg: EngineConfig, conf: dict) -> DataFrame
     )
 
 
+def frames_from_stream_messages(raw: DataFrame) -> DataFrame:
+    """StreamMessage-shaped rows (binary ``value`` + ``headers`` array of
+    (key, binary value) structs — what ``forward.to_stream_messages``
+    produces and a Kafka consumer reads back) -> the parsed envelope. The
+    LSN rides in the ``lsn`` header, exactly where the forwarder put it.
+    Pure column expressions, so the Kafka seam is unit-testable without the
+    connector jar."""
+    framed = raw.select(
+        F.expr(
+            "CAST(CAST(filter(headers, h -> h.key = 'lsn')[0].value AS STRING) "
+            "AS BIGINT)"
+        ).alias("lsn"),
+        F.col("value").cast("string").alias("value"),
+    )
+    return parse_frames(framed)
+
+
 def kafka_source(spark: SparkSession, cfg: EngineConfig, conf: dict) -> DataFrame:
     from .forward import kafka_available
 
@@ -104,14 +121,7 @@ def kafka_source(spark: SparkSession, cfg: EngineConfig, conf: dict) -> DataFram
         .option("startingOffsets", conf.get("starting_offsets", "earliest"))
         .load()
     )
-    framed = raw.select(
-        F.expr(
-            "CAST(CAST(filter(headers, h -> h.key = 'lsn')[0].value AS STRING) "
-            "AS BIGINT)"
-        ).alias("lsn"),
-        F.col("value").cast("string").alias("value"),
-    )
-    return parse_frames(framed)
+    return frames_from_stream_messages(raw)
 
 
 def postgres_logical_source(

@@ -239,3 +239,34 @@ def test_evolution_new_types_match_oracle(spark, tmpdir_factory_clean, changes):
     import pandas as pd
 
     pd.testing.assert_frame_equal(_norm(got, cols), _norm(want, cols))
+
+
+def test_stream_message_roundtrip_through_kafka_seam(spark):
+    """Producer wire roundtrip: envelope -> to_stream_messages (Kafka-shaped
+    key/value/headers) -> frames_from_stream_messages -> envelope. This is
+    exactly what the kafka backend does after .load(), minus the broker."""
+    from cdc_spark.forward import to_stream_messages
+    from cdc_spark.sources import frames_from_stream_messages
+
+    log = change_log(
+        spark, 300, n_repos=6, n_paths=3, delete_rate=0.1,
+        truncate_lsns=(150,),
+        schema_changes={100: {"action": "add", "column": "stars", "type": "long"}},
+        seed=7,
+    )
+    back = frames_from_stream_messages(to_stream_messages(log))
+    cols = [
+        "lsn", "op", "table", "repo", "path", "commit", "lang", "content",
+        "schema_change",
+    ]
+    a = log.select(*cols, F.element_at("extra", "stars").alias("x")).orderBy(
+        "lsn"
+    ).toPandas().astype(str)
+    b = back.select(*cols, F.element_at("extra", "stars").alias("x")).orderBy(
+        "lsn"
+    ).toPandas().astype(str)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
