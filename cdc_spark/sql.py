@@ -36,6 +36,28 @@ def register_lake(
     return lake
 
 
+def register_all(
+    spark: SparkSession,
+    cfg: EngineConfig,
+    *,
+    prefix: str = "lake_",
+) -> dict[str, LakeTable]:
+    """Discover every lake table under ``cfg.lake_root`` and register its
+    live + meta views (the multi-table counterpart of ``register_lake``).
+    Returns the table -> LakeTable map."""
+    import os
+
+    out: dict[str, LakeTable] = {}
+    if not os.path.isdir(cfg.lake_root):
+        return out
+    for t in sorted(os.listdir(cfg.lake_root)):
+        if t.startswith("_"):  # _metrics and friends
+            continue
+        if LakeTable.exists(os.path.join(cfg.lake_root, t)):
+            out[t] = register_lake(spark, cfg, t, prefix=prefix)
+    return out
+
+
 def register_metrics(
     spark: SparkSession, cfg: EngineConfig, name: str = "lake_metrics"
 ) -> DataFrame:

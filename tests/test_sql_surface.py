@@ -80,3 +80,29 @@ def test_oracle_cast_matches_spark_try_cast(spark, raw, typ):
         f"SELECT try_cast('{raw}' AS {sql_type(typ)}) v"
     ).collect()[0]["v"]
     assert cast_string(raw, typ) == got, f"{raw!r} as {typ}: oracle != spark"
+
+
+def test_register_all_multi_table(spark, tmpdir_factory_clean):
+    """register_all discovers every demuxed table and the views join."""
+    from cdc_spark.sql import register_all
+
+    root = tmpdir_factory_clean("ra")
+    cfg = EngineConfig(
+        lake_root=root, checkpoint=os.path.join(root, "c"), n_buckets=4
+    )
+    applier = CdcApply(spark, cfg)
+    log = change_log(spark, 400, n_repos=6, table="t_a", seed=5).unionByName(
+        change_log(spark, 400, n_repos=6, table="t_b", start_lsn=1000, seed=6)
+    )
+    applier.apply_batch(log, 0)
+    lakes = register_all(spark, cfg)
+    assert set(lakes) == {"t_a", "t_b"}
+    n = spark.sql(
+        "SELECT (SELECT count(*) FROM lake_t_a) AS a, "
+        "(SELECT count(*) FROM lake_t_b) AS b"
+    ).collect()[0]
+    assert n["a"] > 0 and n["b"] > 0
+    joined = spark.sql(
+        "SELECT count(*) n FROM lake_t_a a JOIN lake_t_b b USING (repo, path)"
+    ).collect()[0]["n"]
+    assert joined >= 0  # cross-table SQL works
