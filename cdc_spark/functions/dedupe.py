@@ -327,6 +327,16 @@ def q_simhash_neardup_pairs(spark, sf_dir):
     banded = sig.select("doc_id", "simhash", F.lit(0).alias("band"), hi).unionByName(
         sig.select("doc_id", "simhash", F.lit(1).alias("band"), lo)
     )
+    # same degenerate-bucket guard as MinHash LSH: an 8-bit band has only
+    # 256 values, so at corpus scale a popular band value would go k^2 —
+    # buckets above MAX_BAND_DOCS are dropped (mirrored in the oracle)
+    ok = (
+        banded.groupBy("band", "bval")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= MAX_BAND_DOCS)
+        .select("band", "bval")
+    )
+    banded = banded.join(ok, ["band", "bval"])
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "bval"])
@@ -347,10 +357,13 @@ def q_simhash_neardup_pairs(spark, sf_dir):
 def sql_simhash_neardup_pairs() -> str:
     return f"""
 WITH sig AS ({sql_simhash().strip()}),
-banded AS (
+banded0 AS (
   SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS bval FROM sig
   UNION ALL
-  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS bval FROM sig)
+  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS bval FROM sig),
+ok AS (SELECT band, bval FROM banded0 GROUP BY band, bval
+       HAVING count(*) <= {MAX_BAND_DOCS}),
+banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bval))
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
