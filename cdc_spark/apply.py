@@ -285,6 +285,11 @@ class CdcApply:
                     F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias(
                         "deletes"
                     ),
+                    # batch key range per bucket — rides the same job; feeds
+                    # the merge's within-bucket file skipping (lake manifest
+                    # min_key/max_key footer stats)
+                    F.min(key[0]).alias("min_key"),
+                    F.max(key[0]).alias("max_key"),
                 )
                 .collect()
             )
@@ -300,6 +305,9 @@ class CdcApply:
                 new_truncate_lsn=t_new,
                 affected_buckets=[r["bucket"] for r in bstats],
                 batch_rows=sum(r["upserts"] + r["deletes"] for r in bstats),
+                bucket_key_ranges={
+                    r["bucket"]: (r["min_key"], r["max_key"]) for r in bstats
+                },
             )
             self._write_metrics(table, batch_id, bstats, info, t0)
         finally:

@@ -38,11 +38,14 @@ KEY_COLUMNS: tuple[str, str] = ("repo", "path")
 DML_OPS = ("insert", "update", "delete")
 
 #: Supported column types for schema evolution (retype uses try_cast).
-#: ``decimal(p,s)`` is accepted with explicit precision/scale; the oracle
-#: (oracle.py convert/cast_string) mirrors every cast rule per the reference
-#: type fixture (tests/cdc/sources/backends/test_parse_msg.py:20).
+#: ``decimal`` requires explicit precision/scale — ``decimal(p,s)`` — a bare
+#: 'decimal' is rejected by lake.evolve_fields (the change is skipped as
+#: poison, mirrored by oracle.replay). The oracle (oracle.py
+#: convert/cast_string) mirrors every cast rule per the reference type
+#: fixture (tests/cdc/sources/backends/test_parse_msg.py:20).
 EVOLUTION_TYPES = (
-    "string", "long", "double", "boolean", "timestamp", "date", "decimal",
+    "string", "long", "double", "boolean", "timestamp", "date",
+    "decimal(p,s)",
 )
 
 

@@ -19,7 +19,19 @@ from ._portable import (
 
 K_MINHASH = 16
 BANDS = 4  # 4 rows per band
-SIMHASH_BITS = 16
+#: 63, not 64: bit 63 stays unused so the signature is a non-negative BIGINT
+#: and every shift/mask/xor is sign-safe in BOTH engines (DuckDB BIGINT has
+#: no unsigned shift). 63 bits makes the banded blocking survive corpus
+#:  growth: 4 bands of ~16 bits = 65 536 values per band, vs the round-2
+#: 16-bit signature whose 8-bit bands (256 values) overflowed the
+#: MAX_BAND_DOCS cap for EVERY bucket past ~0.5M docs and silently returned
+#: nothing.
+SIMHASH_BITS = 63
+#: band layout over the 63-bit signature: 16+16+16+15 bits. Pigeonhole: any
+#: pair within SIMHASH_MAX_HAMMING=3 flips leaves >=1 of the 4 bands
+#: untouched, so recall at the threshold is exact (not probabilistic).
+SIMHASH_BAND_BITS = 16
+SIMHASH_BANDS = 4
 #: shingle width for the MinHash family. 3-gram shingles make natural text
 #: look self-similar (common trigrams dominate the min-hashes): measured at
 #: sf0.1 they produced 7.46M candidate pairs from 5,000 docs — 60% of ALL
@@ -165,9 +177,13 @@ ORDER BY doc_a, doc_b
 
 # ----------------------------------------------------------------- simhash
 def q_simhash(spark, sf_dir):
-    """SimHash ({SIMHASH_BITS}-bit): token hash bit votes summed per doc,
-    sign -> bit. Explode + one groupBy with {SIMHASH_BITS} sums (partial agg);
-    near-dup candidates are same-bucket simhash values."""
+    """SimHash (63-bit): token hash bit votes summed per doc, sign -> bit.
+    Explode + one groupBy with 63 sums (partial agg). The poly hash itself
+    is only ~30 bits wide (mod 1e9+7), so each signature bit votes on an
+    independent affine REHASH of it — ``((h*a_b + c_b) % MOD) & 1`` with the
+    shared ``mh_params`` coefficients — rather than on raw hash bits (bits
+    >= 30 of the raw hash would be constant zero and the signature
+    degenerate)."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id",
@@ -175,10 +191,11 @@ def q_simhash(spark, sf_dir):
     ).filter(F.length("t") > 0)
     h = tok.select("doc_id", F.expr(spark_poly_hash("t")).alias("h"))
     votes = [
-        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(
-            f"v{b}"
-        )
-        for b in range(SIMHASH_BITS)
+        F.sum(
+            ((F.col("h") * F.lit(a) + F.lit(c)) % F.lit(MOD))
+            .bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"v{b}")
+        for b, (a, c) in enumerate(mh_params(SIMHASH_BITS))
     ]
     agg = h.groupBy("doc_id").agg(*votes)
     sim = sum(
@@ -193,10 +210,12 @@ def q_simhash(spark, sf_dir):
 
 def sql_simhash() -> str:
     votes = ", ".join(
-        f"sum(((h >> {b}) & 1) * 2 - 1) AS v{b}" for b in range(SIMHASH_BITS)
+        f"sum((((h * {a} + {c}) % {MOD}) & 1) * 2 - 1) AS v{b}"
+        for b, (a, c) in enumerate(mh_params(SIMHASH_BITS))
     )
     sim = " + ".join(
-        f"CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(SIMHASH_BITS)
+        f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(SIMHASH_BITS)
     )
     return rf"""
 WITH tok AS (
@@ -310,26 +329,47 @@ ORDER BY doc_a, doc_b
 
 # --------------------------------------------------------- simhash pairs
 #: max Hamming distance for a SimHash near-dup pair. Candidates are blocked
-#: by byte-band equality (two 8-bit bands of the 16-bit signature): any pair
-#: with Hamming distance <= 1 is GUARANTEED to share a band (pigeonhole);
-#: distance-2 pairs are found when both flips land in one band — documented
-#: LSH-style recall/cost trade, identical in both engines.
-SIMHASH_MAX_HAMMING = 2
+#: by band equality over the 4 (16/16/16/15-bit) bands of the 63-bit
+#: signature: any pair with <= 3 flips leaves at least one of the 4 bands
+#: untouched (pigeonhole), so recall at this threshold is EXACT — and the
+#: band value space (~65k per band) keeps buckets sparse as the corpus
+#: grows, unlike the round-2 8-bit bands that the MAX_BAND_DOCS cap zeroed
+#: out past ~0.5M docs.
+SIMHASH_MAX_HAMMING = 3
+
+
+def _simhash_band_ranges() -> list[tuple[int, int]]:
+    """[(shift, mask_width_bits)] for the 4 bands over 63 bits."""
+    out = []
+    for i in range(SIMHASH_BANDS):
+        shift = i * SIMHASH_BAND_BITS
+        width = min(SIMHASH_BAND_BITS, SIMHASH_BITS - shift)
+        out.append((shift, width))
+    return out
 
 
 def q_simhash_neardup_pairs(spark, sf_dir):
-    """SimHash near-dup pairs: byte-band blocked candidate join + exact
+    """SimHash near-dup pairs: 16-bit-band blocked candidate join + exact
     Hamming confirm (bit_count(xor)). Shuffle is by band value — scales
     with band collisions, never all-pairs."""
     sig = q_simhash(spark, sf_dir)
-    hi = F.shiftright("simhash", 8).alias("bval")
-    lo = F.col("simhash").bitwiseAND(F.lit(255)).alias("bval")
-    banded = sig.select("doc_id", "simhash", F.lit(0).alias("band"), hi).unionByName(
-        sig.select("doc_id", "simhash", F.lit(1).alias("band"), lo)
-    )
-    # same degenerate-bucket guard as MinHash LSH: an 8-bit band has only
-    # 256 values, so at corpus scale a popular band value would go k^2 —
-    # buckets above MAX_BAND_DOCS are dropped (mirrored in the oracle)
+    parts = []
+    for band, (shift, width) in enumerate(_simhash_band_ranges()):
+        bval = F.shiftright("simhash", shift).bitwiseAND(
+            F.lit((1 << width) - 1)
+        )
+        parts.append(
+            sig.select(
+                "doc_id", "simhash", F.lit(band).alias("band"),
+                bval.alias("bval"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    # degenerate-bucket guard, same as MinHash LSH: a band value that
+    # common carries no near-dup signal (boilerplate/empty docs) while
+    # contributing k^2/2 join rows — dropped, mirrored in the oracle
     ok = (
         banded.groupBy("band", "bval")
         .agg(F.count("*").alias("_n"))
@@ -355,12 +395,14 @@ def q_simhash_neardup_pairs(spark, sf_dir):
 
 
 def sql_simhash_neardup_pairs() -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT doc_id, simhash, {band} AS band, "
+        f"(simhash >> {shift}) & {(1 << width) - 1} AS bval FROM sig"
+        for band, (shift, width) in enumerate(_simhash_band_ranges())
+    )
     return f"""
 WITH sig AS ({sql_simhash().strip()}),
-banded0 AS (
-  SELECT doc_id, simhash, 0 AS band, simhash >> 8 AS bval FROM sig
-  UNION ALL
-  SELECT doc_id, simhash, 1 AS band, simhash & 255 AS bval FROM sig),
+banded0 AS ({band_selects}),
 ok AS (SELECT band, bval FROM banded0 GROUP BY band, bval
        HAVING count(*) <= {MAX_BAND_DOCS}),
 banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bval))

@@ -12,7 +12,39 @@ from pyspark.sql import functions as F
 
 N_QUERIES = 8
 TOP_K = 10
-ANN_BITS = 8
+#: fan-out for the two-phase top-k reduce: candidates are salted into this
+#: many groups per query, ranked locally (spill-safe window sort over
+#: ~n/SALT rows), and only the K survivors per group meet in the final
+#: rank. Without it a single window partition per query carries the WHOLE
+#: candidate set — a straggler/OOM per query at corpus scale.
+TOPK_SALT = 32
+ANN_BITS = 16
+
+
+def _topk_two_phase(scored, k: int, order, part_col: str = "query_id",
+                    salt_col: str = "cand_id", salt: int = TOPK_SALT):
+    """Exact top-k per ``part_col`` without a single-task-per-partition
+    window: phase 1 ranks within (part, salt-of-candidate) groups and keeps
+    k per group (each candidate lives in exactly one group, so every global
+    top-k row survives its group's local top-k); phase 2 ranks the <= k*salt
+    survivors. Result identical to the naive global window, so the same
+    DuckDB oracle covers it."""
+    from pyspark.sql import Window
+
+    s = scored.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt))
+    )
+    w_local = Window.partitionBy(part_col, "_salt").orderBy(*order)
+    survivors = (
+        s.withColumn("_lr", F.row_number().over(w_local))
+        .filter(F.col("_lr") <= k)
+        .drop("_salt", "_lr")
+    )
+    w_final = Window.partitionBy(part_col).orderBy(*order)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def _emb(spark, sf_dir):
@@ -34,9 +66,10 @@ def _cos(a, b):
 
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k per query vector (queries = vec_id <
-    N_QUERIES, broadcast against all candidates)."""
-    from pyspark.sql import Window
-
+    N_QUERIES, broadcast against all candidates). Ranking is the two-phase
+    salted reduce (``_topk_two_phase``) — scoring stays map-side (broadcast
+    crossJoin), and no shuffle partition ever holds one query's whole
+    candidate set."""
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
@@ -54,12 +87,10 @@ def q_cosine_topk(spark, sf_dir):
             F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("cosine"), F.asc("cand_id")
-    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= TOP_K)
+        _topk_two_phase(
+            scored, TOP_K, [F.desc("cosine"), F.asc("cand_id")]
+        )
         .select("query_id", "cand_id", "cosine", "rank")
         .orderBy("query_id", "rank")
     )
@@ -132,37 +163,90 @@ EMB_DIM = 64
 N_CENTROIDS = 16
 N_PROBE = 2
 IVF_TOP_K = 5
+#: Lloyd (k-means) refinement iterations for the IVF coarse quantizer.
+#: Fixed count + integer-space means keep the training deterministic and
+#: bit-identical across engines (a float mean aggregated in different
+#: orders is NOT reproducible; floor(v*1e4) components summed as BIGINT
+#: are — and cosine is scale-invariant, so the x1e4 centroid scale cancels).
+IVF_LLOYD_ITERS = 2
+_CSCALE = 10_000
+
+
+def _ivf_assign(e, cents, sim_round: int = 6):
+    """Nearest centroid per vector: broadcast crossJoin (map-side, centroids
+    are tiny) + one partial-aggregated max_by — no per-vector window, no
+    shuffle of the vectors themselves beyond the groupBy."""
+    scored = F.broadcast(cents).crossJoin(e).select(
+        "vec_id", "cent_id",
+        F.round(_cos(F.col("v"), F.col("cv")), sim_round).alias("sim"),
+    )
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            F.col("cent_id"), F.struct(F.col("sim"), (-F.col("cent_id")))
+        ).alias("cell")
+    )
+
+
+def _ivf_update(e, assign, dim: int):
+    """Lloyd update: per-cell dimension-wise mean, computed EXACTLY —
+    components floor-scaled to BIGINT, summed (order-free), floor-divided.
+    One partial-aggregated groupBy; empty cells drop out (both engines)."""
+    sums = [
+        F.sum(F.floor(F.element_at("v", d + 1) * _CSCALE)).alias(f"s{d}")
+        for d in range(dim)
+    ]
+    g = e.join(assign, "vec_id").groupBy("cell").agg(
+        F.count("*").alias("n"), *sums
+    )
+    means = [
+        F.expr(
+            f"CAST((s{d} - (((s{d} % n) + n) % n)) DIV n AS DOUBLE)"
+        )
+        for d in range(dim)
+    ]
+    return g.select(
+        F.col("cell").alias("cent_id"), F.array(*means).alias("cv")
+    )
+
+
+def ivf_centroids(e, dim: int = 64, iters: int = IVF_LLOYD_ITERS):
+    """Deterministic k-means: seed with the first N_CENTROIDS vectors, run
+    ``iters`` Lloyd steps. Each step is one broadcast assign (map-side) +
+    one groupBy update — the plan a 100 TB corpus wants (centroids never
+    exceed driver/broadcast size; vectors shuffle only into the mean
+    reduce, partial-aggregated)."""
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    for _ in range(iters):
+        cents = _ivf_update(e, _ivf_assign(e, cents), dim)
+    return cents
 
 
 def q_ivf_topk(spark, sf_dir):
-    """IVF (inverted-file) ANN: 'centroids' are the first N_CENTROIDS
-    vectors (deterministic training stand-in); every vector is assigned to
-    its nearest centroid (one broadcast crossJoin + argmin — at 100 TB this
-    is a map-side pass, centroids are tiny); queries probe the N_PROBE
-    nearest cells and rank candidates by exact cosine within them. The
-    search join is an equi-join on cell id — cost scales with cell
-    occupancy, not with the corpus."""
+    """IVF (inverted-file) ANN with a TRAINED coarse quantizer: centroids =
+    deterministic Lloyd iterations (``ivf_centroids``), every vector
+    assigned to its nearest cell (broadcast + max_by, map-side), queries
+    probe the N_PROBE nearest cells, exact cosine ranks candidates within
+    them via the two-phase salted top-k. The search join is an equi-join on
+    cell id — cost scales with cell occupancy, not with the corpus."""
     from pyspark.sql import Window
 
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    scored = F.broadcast(cents).crossJoin(e).select(
+    cents = ivf_centroids(e, dim=EMB_DIM)
+    assign = _ivf_assign(e, cents)
+    # queries probe their N_PROBE nearest cells: the window partition is
+    # N_CENTROIDS rows (a constant), never corpus-sized
+    scored_q = F.broadcast(cents).crossJoin(
+        e.filter(F.col("vec_id") < N_QUERIES)
+    ).select(
         "vec_id", "cent_id", F.round(_cos(F.col("v"), F.col("cv")), 6).alias("sim")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", F.col("cent_id").alias("cell"))
-    )
-    # queries probe their N_PROBE nearest cells
+    w_probe = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
     probes = (
-        scored.filter(F.col("vec_id") < N_QUERIES)
-        .withColumn("rn", F.row_number().over(w_assign))
+        scored_q.withColumn("rn", F.row_number().over(w_probe))
         .filter(F.col("rn") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
@@ -181,39 +265,76 @@ def q_ivf_topk(spark, sf_dir):
         )
         .dropDuplicates(["query_id", "cand_id"])
     )
-    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
-    return (
-        pairs.withColumn("rank", F.row_number().over(w_rank))
-        .filter(F.col("rank") <= IVF_TOP_K)
-        .orderBy("query_id", "rank")
+    return _topk_two_phase(
+        pairs, IVF_TOP_K, [F.desc("cosine"), F.asc("cand_id")]
+    ).orderBy("query_id", "rank")
+
+
+def _duck_cos_expr(xv: str, yv: str, r: int) -> str:
+    dot = (
+        f"list_reduce(list_transform(range(1, len({xv})+1), "
+        f"i -> {xv}[i] * {yv}[i]), (a, x) -> a + x)"
     )
+    nx = (
+        f"sqrt(list_reduce(list_transform(range(1, len({xv})+1), "
+        f"i -> {xv}[i] * {xv}[i]), (a, x) -> a + x))"
+    )
+    ny = (
+        f"sqrt(list_reduce(list_transform(range(1, len({yv})+1), "
+        f"i -> {yv}[i] * {yv}[i]), (a, x) -> a + x))"
+    )
+    return f"round({dot} / ({nx} * {ny}), {r})"
 
 
-SQL_IVF_TOPK = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
-scored AS (
-  SELECT e.vec_id, cent_id,
-         round(list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * cv[i]), (a, x) -> a + x)
-               / (sqrt(list_reduce(list_transform(range(1, len(v)+1), i -> v[i] * v[i]), (a, x) -> a + x))
-                  * sqrt(list_reduce(list_transform(range(1, len(cv)+1), i -> cv[i] * cv[i]), (a, x) -> a + x))),
-               6) AS sim
-  FROM cents, e),
-assign AS (
+def sql_ivf_topk(dim: int) -> str:
+    """DuckDB mirror of the trained-IVF search, Lloyd steps unrolled."""
+    def assign_cte(name: str, cents: str) -> str:
+        sim = _duck_cos_expr("e.v", "c.cv", 6)
+        return f"""{name} AS (
   SELECT vec_id, cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) rn
-    FROM scored) WHERE rn = 1),
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim} DESC, c.cent_id ASC) rn
+    FROM e, {cents} c) WHERE rn = 1)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        sums = ", ".join(
+            f"sum(CAST(floor(v[{d + 1}] * {_CSCALE}) AS BIGINT)) AS s{d}"
+            for d in range(dim)
+        )
+        means = ", ".join(
+            f"CAST((s{d} - (((s{d} % n) + n) % n)) // n AS DOUBLE)"
+            for d in range(dim)
+        )
+        return f"""{name} AS (
+  SELECT cent_id, [{means}] AS cv FROM (
+    SELECT cell AS cent_id, count(*) AS n, {sums}
+    FROM e JOIN {assign} USING (vec_id) GROUP BY cell) t)"""
+
+    lloyd = []
+    cents = "c0"
+    for i in range(IVF_LLOYD_ITERS):
+        lloyd.append(assign_cte(f"a{i + 1}", cents))
+        lloyd.append(update_cte(f"c{i + 1}", f"a{i + 1}"))
+        cents = f"c{i + 1}"
+    lloyd_sql = ",\n".join(lloyd)
+    sim_q = _duck_cos_expr("e.v", "c.cv", 6)
+    cos_pair = _duck_cos_expr("q.v", "c.cv2", 4)
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+{lloyd_sql},
+{assign_cte("assign", cents)},
 probes AS (
   SELECT vec_id AS query_id, cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, cent_id ASC) rn
-    FROM scored WHERE vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
-cand AS (SELECT a.vec_id AS cand_id, a.cell, e.v AS cv2 FROM assign a JOIN e ON e.vec_id = a.vec_id),
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim_q} DESC, c.cent_id ASC) rn
+    FROM e, {cents} c WHERE e.vec_id < {N_QUERIES}) WHERE rn <= {N_PROBE}),
+cand AS (SELECT a.vec_id AS cand_id, a.cell, e.v AS cv2
+         FROM assign a JOIN e ON e.vec_id = a.vec_id),
 pairs AS (
-  SELECT DISTINCT p.query_id, c.cand_id,
-         round(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i] * c.cv2[i]), (a, x) -> a + x)
-               / (sqrt(list_reduce(list_transform(range(1, len(q.v)+1), i -> q.v[i] * q.v[i]), (a, x) -> a + x))
-                  * sqrt(list_reduce(list_transform(range(1, len(c.cv2)+1), i -> c.cv2[i] * c.cv2[i]), (a, x) -> a + x))),
-               4) AS cosine
+  SELECT DISTINCT p.query_id, c.cand_id, {cos_pair} AS cosine
   FROM probes p JOIN cand c ON c.cell = p.cell
   JOIN e q ON q.vec_id = p.query_id
   WHERE c.cand_id <> p.query_id)
@@ -230,25 +351,83 @@ ORDER BY query_id, rank
 #: cosine is ~0.46 at sf0.01 / ~0.55 at sf0.1) — a threshold the data never
 #: crosses would make the oracle check vacuous (0 == 0)
 NEARDUP_COSINE = 0.4
+#: multi-band hyperplane LSH for the near-dup blocking: EMB_BANDS
+#: independent bands of EMB_BAND_BITS sign projections each; candidates
+#: share ANY band (OR-amplification, the classic L-hash-tables construction
+#: — raising recall without widening any single bucket join). Bucket-space
+#: sizing rule at scale: band_bits ~ log2(n_docs / target_occupancy); the
+#: pinned 12 bits (4096 values/band) is that rule's output for the fixture
+#: range and stays sparse ~100x longer than the round-2 single 8-bit code.
+EMB_BANDS = 4
+EMB_BAND_BITS = 12
+#: per-(band, bucket) occupancy cap — the same degenerate-bucket guard as
+#: the text-LSH paths (a bucket that popular carries no near-dup signal but
+#: k^2/2 join rows); mirrored in the oracle, so it is part of the
+#: operator's semantics, not silent truncation.
+MAX_BUCKET_DOCS = 1024
+
+
+def _band_bucket_expr(dim: int, band: int):
+    """Spark Column: EMB_BAND_BITS sign bits of band-specific projections."""
+    v = F.col("embedding").cast("array<double>")
+    bucket = F.lit(0)
+    for j in range(EMB_BAND_BITS):
+        g = band * EMB_BAND_BITS + j
+        terms = [
+            F.element_at(v, d + 1) * F.lit(float(_proj_sign(d, g)))
+            for d in range(dim)
+        ]
+        dot = sum(terms[1:], terms[0])
+        bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _band_bucket_sql(dim: int, band: int) -> str:
+    bits = []
+    for j in range(EMB_BAND_BITS):
+        g = band * EMB_BAND_BITS + j
+        dot = " + ".join(
+            f"v[{d + 1}] * ({_proj_sign(d, g)})" for d in range(dim)
+        )
+        bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(bits)
 
 
 def q_embedding_neardup_pairs(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs, LSH-blocked: candidates must
-    share a sign-projection bucket (equi-join, no all-pairs), then exact
-    cosine confirms. The 100 TB shape: shuffle by bucket key only."""
-    e = _emb(spark, sf_dir).select(
-        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    """Embedding-cosine near-duplicate pairs, multi-band LSH blocked:
+    candidates must share one of EMB_BANDS sign-projection buckets
+    (equi-join on (band, bucket), never all-pairs), overcrowded buckets are
+    dropped by the occupancy cap, exact cosine confirms survivors. The
+    100 TB shape: shuffle by bucket key, per-bucket join cost bounded by
+    MAX_BUCKET_DOCS^2."""
+    e = _emb(spark, sf_dir)
+    parts = [
+        e.select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+            F.lit(band).alias("band"),
+            _band_bucket_expr(EMB_DIM, band).alias("bucket"),
+        )
+        for band in range(EMB_BANDS)
+    ]
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    ok = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") <= MAX_BUCKET_DOCS)
+        .select("band", "bucket")
     )
-    b = q_ann_lsh_buckets(spark, sf_dir, dim=EMB_DIM)
-    eb = e.join(b, "vec_id")
-    a = eb.select(
-        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "bucket"
+    banded = banded.join(ok, ["band", "bucket"])
+    a = banded.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), "band", "bucket"
     )
-    c = eb.select(
-        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "bucket"
+    c = banded.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), "band", "bucket"
     )
     return (
-        a.join(c, "bucket")
+        a.join(c, ["band", "bucket"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -256,37 +435,32 @@ def q_embedding_neardup_pairs(spark, sf_dir):
             F.round(_cos(F.col("va"), F.col("vb")), 4).alias("cosine"),
         )
         .filter(F.col("cosine") >= NEARDUP_COSINE)
+        .distinct()
         .orderBy("vec_a", "vec_b")
     )
 
 
 def sql_embedding_neardup_pairs(dim: int) -> str:
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, v, {band} AS band, "
+        f"CAST({_band_bucket_sql(dim, band)} AS INT) AS bucket FROM e"
+        for band in range(EMB_BANDS)
+    )
+    cos = _duck_cos_expr("av.v", "cv.v", 4)
     return f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-b AS (
-  SELECT vec_id, CAST({_bucket_sql_expr(dim)} AS INT) AS bucket FROM e)
-SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-       round(list_reduce(list_transform(range(1, len(av.v)+1), i -> av.v[i] * cv.v[i]), (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(1, len(av.v)+1), i -> av.v[i] * av.v[i]), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(range(1, len(cv.v)+1), i -> cv.v[i] * cv.v[i]), (x, y) -> x + y))),
-             4) AS cosine
-FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+banded0 AS ({band_selects}),
+ok AS (SELECT band, bucket FROM banded0 GROUP BY band, bucket
+       HAVING count(*) <= {MAX_BUCKET_DOCS}),
+banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bucket))
+SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cosine
+FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+  AND a.vec_id < c.vec_id
 JOIN e av ON av.vec_id = a.vec_id
 JOIN e cv ON cv.vec_id = c.vec_id
-WHERE round(list_reduce(list_transform(range(1, len(av.v)+1), i -> av.v[i] * cv.v[i]), (x, y) -> x + y)
-            / (sqrt(list_reduce(list_transform(range(1, len(av.v)+1), i -> av.v[i] * av.v[i]), (x, y) -> x + y))
-               * sqrt(list_reduce(list_transform(range(1, len(cv.v)+1), i -> cv.v[i] * cv.v[i]), (x, y) -> x + y))),
-            4) >= {NEARDUP_COSINE}
+WHERE {cos} >= {NEARDUP_COSINE}
 ORDER BY vec_a, vec_b
 """
-
-
-def _bucket_sql_expr(dim: int) -> str:
-    bits = []
-    for j in range(ANN_BITS):
-        dot = " + ".join(f"v[{d + 1}] * ({_proj_sign(d, j)})" for d in range(dim))
-        bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
-    return " + ".join(bits)
 
 
 def registry() -> dict:
@@ -296,7 +470,7 @@ def registry() -> dict:
             lambda spark, sf_dir: q_ann_lsh_buckets(spark, sf_dir, dim=EMB_DIM),
             sql_ann_lsh_buckets(EMB_DIM),
         ),
-        "ivf_topk": (q_ivf_topk, SQL_IVF_TOPK),
+        "ivf_topk": (q_ivf_topk, sql_ivf_topk(EMB_DIM)),
         "embedding_neardup_pairs": (
             q_embedding_neardup_pairs,
             sql_embedding_neardup_pairs(EMB_DIM),

@@ -23,10 +23,16 @@ Manifest fields:
     schema_id, schemas        -- full schema-version history (E3)
     schema_changes            -- RAW (lsn, change_json) history; validity is
                                  re-derived on every read via replay_changes
-    files                     -- [{path, bucket, schema_id, change_idx}]
-                                 (paths rel. root; change_idx = how much of
-                                 the change history was applied at write
-                                 time, for stepwise retype-chain folding)
+    files                     -- [{path, bucket, schema_id, change_lsn,
+                                 min_key, max_key, rows}]
+                                 (paths rel. root; change_lsn = the highest
+                                 schema-change LSN applied at write time —
+                                 an LSN stamp, NOT a list position, because
+                                 out-of-order control events insert into the
+                                 MIDDLE of the LSN-sorted history and would
+                                 shift positional indexes under existing
+                                 files; min/max_key = first-key-column range
+                                 for file skipping, rows = row count)
     truncate_lsn              -- table-truncate watermark (O(1) truncate)
     last_batch                -- {id, lsn_hwm}: idempotent-commit key (E2);
                                  commits are keyed by (checkpoint epoch,
@@ -95,10 +101,18 @@ def evolve_fields(
     if action == "add":
         if column in names:
             raise ValueError(f"add: column {column} already exists")
-        return fields + [(column, change.get("type", "string"))]
+        typ = change.get("type", "string")
+        sql_type(typ)  # unknown type -> KeyError -> replay skips the event
+        return fields + [(column, typ)]
     if action == "drop":
         return [f for f in fields if f[0] != column]
     if action == "retype":
+        # validate the target type HERE, not lazily at epoch projection:
+        # an invalid type marked valid would later raise an uncatchable
+        # KeyError in sql_type inside foreachBatch and crash-loop the
+        # stream on replay — the exact failure poison tolerance exists
+        # to prevent. replay_changes deterministically skips it instead.
+        sql_type(change["type"])
         return [(n, change["type"] if n == column else t) for n, t in fields]
     raise ValueError(f"unknown schema change action {action!r}")
 
@@ -154,6 +168,39 @@ def sql_type(t: str) -> str:
 def bucket_expr(key: tuple[str, ...], n_buckets: int):
     cols = [F.coalesce(F.col(k).cast("string"), F.lit("")) for k in key]
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
+
+
+def _file_key_stats(path: str, key_col: str) -> tuple:
+    """(min, max, rows) of ``key_col`` from the parquet FOOTER — a driver-
+    side metadata read (no data scan, no job). Rows are key-sorted within
+    files, so footer min/max are exact cluster bounds; ``merge`` uses them
+    to skip files whose key range cannot intersect a batch (Iceberg's
+    lower/upper_bounds file skipping). Returns (None, None, rows) when the
+    writer produced no stats for the column (pruning then never skips)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = None
+    for i in range(md.num_columns if md.num_row_groups else 0):
+        if md.row_group(0).column(i).path_in_schema == key_col:
+            idx = i
+            break
+    lo = hi = None
+    for g in range(md.num_row_groups):
+        st = md.row_group(g).column(idx).statistics if idx is not None else None
+        if st is None or not st.has_min_max:
+            return None, None, md.num_rows
+        mn, mx = st.min, st.max
+        if isinstance(mn, bytes):
+            try:
+                mn, mx = mn.decode(), mx.decode()
+            except UnicodeDecodeError:
+                return None, None, md.num_rows
+        lo = mn if lo is None or mn < lo else lo
+        hi = mx if hi is None or mx > hi else hi
+    if not isinstance(lo, (str, int)) or type(lo) is not type(hi):
+        return None, None, md.num_rows
+    return lo, hi, md.num_rows
 
 
 def chain_for_column(
@@ -369,18 +416,18 @@ class LakeTable:
     # -------------------------------------------------------------- reading
     def _parsed_changes(self, meta: dict | None = None) -> list:
         """The manifest's raw change history replayed through the validity
-        filter — an ALIGNED list (None = skipped entry) so per-file
-        ``change_idx`` values index it directly."""
+        filter — a list of ``(lsn, parsed_dict_or_None)`` pairs in LSN order
+        (None = skipped poison entry). Per-file ``change_lsn`` stamps select
+        each file's unapplied tail as ``lsn > stamp``."""
         m = meta or self._meta
         base = next(
             [tuple(f) for f in s["fields"]]
             for s in m["schemas"]
             if s["schema_id"] == 0
         )
-        _, aligned, _ = replay_changes(
-            base, m.get("schema_changes", []), tuple(m["key"])
-        )
-        return aligned
+        raw = m.get("schema_changes", [])
+        _, aligned, _ = replay_changes(base, raw, tuple(m["key"]))
+        return [(int(l), c) for (l, _), c in zip(raw, aligned)]
 
     def _read_files(
         self,
@@ -389,21 +436,24 @@ class LakeTable:
         changes: list[dict] | None = None,
     ) -> DataFrame | None:
         """Read manifest files projected to ``target_fields`` (+META).
-        Files are grouped by (schema_id, change_idx) so each group is one
+        Files are grouped by (schema_id, change_lsn) so each group is one
         pruned, pushdown-friendly parquet scan whose per-column cast chain
-        (``changes[change_idx:]``) is folded into the scan projection."""
+        (the changes with ``lsn > change_lsn`` — an LSN comparison, robust
+        to late-arriving control events inserting mid-history) is folded
+        into the scan projection. ``changes`` is ``_parsed_changes()``
+        output: LSN-ordered ``(lsn, parsed_or_None)`` pairs."""
         if not files:
             return None
         by_grp: dict[tuple, list[str]] = {}
         for f in files:
-            grp = (f["schema_id"], f.get("change_idx"))
+            grp = (f["schema_id"], f.get("change_lsn"))
             by_grp.setdefault(grp, []).append(os.path.join(self.root, f["path"]))
         parts = []
-        for (sid, cidx), paths in by_grp.items():
+        for (sid, clsn), paths in by_grp.items():
             src_fields = self.schema_fields(sid)
             tail = (
-                changes[cidx:]
-                if changes is not None and cidx is not None
+                [c for l, c in changes if l > clsn]
+                if changes is not None and clsn is not None
                 else None
             )
             df = self.spark.read.parquet(*paths)
@@ -459,6 +509,7 @@ class LakeTable:
         batch_rows: int | None = None,
         strategy: str | None = None,
         new_schema_changes: list | None = None,
+        bucket_key_ranges: dict | None = None,
     ) -> dict:
         """Copy-on-write upsert of a deduped batch + single atomic commit.
 
@@ -519,8 +570,14 @@ class LakeTable:
             for s in cur["schemas"]
             if s["schema_id"] == 0
         )
-        _, parsed_changes, _ = replay_changes(base0, history, self.key)
-        change_idx = len(history)
+        _, aligned, _ = replay_changes(base0, history, self.key)
+        parsed_changes = [(int(l), c) for (l, _), c in zip(history, aligned)]
+        # LSN stamp: every change in the post-commit history is folded into
+        # the values this merge writes, so the files' unapplied tail is
+        # exactly the changes with lsn > this stamp (late-arriving lower-LSN
+        # control events land BELOW it and are never replayed onto values
+        # that already reflect them — see the manifest docstring)
+        change_lsn = max((int(l) for l, _ in history), default=-1)
         files: list[dict] = []
         rewritten, affected = 0, []
 
@@ -546,6 +603,29 @@ class LakeTable:
         if affected:
             touched = [f for f in cur["files"] if f["bucket"] in affected]
             untouched = [f for f in cur["files"] if f["bucket"] not in affected]
+            if bucket_key_ranges:
+                # file skipping WITHIN an affected bucket: a file whose
+                # first-key-column range is disjoint from the batch's range
+                # for that bucket cannot contain any batch key (so no LWW
+                # race either way) — leave it in place instead of rewriting
+                # the hot bucket wholesale. ``bucket_key_ranges`` comes from
+                # the caller's existing lineage aggregation (zero extra jobs)
+                kept = []
+                for f in touched:
+                    rng = bucket_key_ranges.get(f["bucket"])
+                    fmin, fmax = f.get("min_key"), f.get("max_key")
+                    try:
+                        disjoint = (
+                            rng is not None
+                            and fmin is not None
+                            and fmax is not None
+                            and rng[0] is not None
+                            and (fmax < rng[0] or fmin > rng[1])
+                        )
+                    except TypeError:  # mixed-type stats: never skip
+                        disjoint = False
+                    (untouched if disjoint else kept).append(f)
+                touched = kept
             old = self._read_files(touched, final_fields, changes=parsed_changes)
             key = list(self.key)
             if old is not None:
@@ -612,12 +692,17 @@ class LakeTable:
                 bucket = int(bdir.split("=")[1])
                 for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
                     if part.endswith(".parquet"):
+                        full = os.path.join(out_dir, bdir, part)
+                        mn, mx, nrows = _file_key_stats(full, self.key[0])
                         files.append(
                             {
                                 "path": f"{data_rel}/{bdir}/{part}",
                                 "bucket": bucket,
                                 "schema_id": schema_id,
-                                "change_idx": change_idx,
+                                "change_lsn": change_lsn,
+                                "min_key": mn,
+                                "max_key": mx,
+                                "rows": nrows,
                             }
                         )
             rewritten = len(files)
@@ -685,16 +770,20 @@ class LakeTable:
             .parquet(out_dir)
         )
         files = []
+        change_lsn = max((l for l, _ in parsed_changes), default=-1)
         for bdir in sorted(os.listdir(out_dir)):
             if not bdir.startswith("_bucket="):
                 continue
             bucket = int(bdir.split("=")[1])
             for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
                 if part.endswith(".parquet"):
+                    full = os.path.join(out_dir, bdir, part)
+                    mn, mx, nrows = _file_key_stats(full, self.key[0])
                     files.append(
                         {"path": f"{data_rel}/{bdir}/{part}", "bucket": bucket,
                          "schema_id": cur["schema_id"],
-                         "change_idx": len(parsed_changes)}
+                         "change_lsn": change_lsn,
+                         "min_key": mn, "max_key": mx, "rows": nrows}
                     )
         meta = dict(cur)
         meta.update(
@@ -741,17 +830,30 @@ class LakeTable:
                         os.unlink(p)
                         removed += 1
             os.unlink(os.path.join(mdir, f"v{v}.json"))
-        # orphan sweep: anything on disk no remaining manifest references
+        # orphan sweep: anything on disk no remaining manifest references.
+        # Eligibility is tied to COMMIT LINEAGE, not just mtime: a staging
+        # dir is named data/v<N>-<attempt>, and the attempt at version N is
+        # decided only once some vN manifest is published — so files under
+        # dirs with N > the newest published version belong to an in-flight
+        # writer and are NEVER swept, no matter how long its (huge/slow)
+        # staging write has been running. The mtime grace remains as a
+        # second guard for decided versions.
         referenced = set(live_files)
+        newest = max(versions) if versions else -1
         data_root = os.path.join(self.root, "data")
         orphans_removed = 0
         cutoff = _time.time() - orphan_grace_s
         if os.path.isdir(data_root):
             for dirpath, _dirs, files in os.walk(data_root):
+                dirname = os.path.relpath(dirpath, data_root).split(os.sep)[0]
+                try:
+                    dir_version = int(dirname.split("-")[0].lstrip("v"))
+                except ValueError:
+                    dir_version = -1  # unrecognized layout: mtime-only rule
                 for fn in files:
                     full = os.path.join(dirpath, fn)
                     rel = os.path.relpath(full, self.root)
-                    if rel in referenced:
+                    if rel in referenced or dir_version > newest:
                         continue
                     try:
                         if os.path.getmtime(full) <= cutoff:
@@ -759,11 +861,18 @@ class LakeTable:
                             orphans_removed += 1
                     except OSError:
                         pass  # concurrent sweep / writer finishing up
-        # sweep now-empty data dirs
+        # sweep now-empty data dirs (same in-flight guard: only decided
+        # versions — an active writer's staging/_temporary dirs hold no
+        # .parquet direct children yet and must not be rmtree'd)
         data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 full = os.path.join(data_root, d)
+                try:
+                    if int(d.split("-")[0].lstrip("v")) > newest:
+                        continue
+                except ValueError:
+                    pass
                 for sub in sorted(os.listdir(full)):
                     subp = os.path.join(full, sub)
                     if os.path.isdir(subp) and not any(

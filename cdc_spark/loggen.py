@@ -164,6 +164,16 @@ def change_log(
         else:
             val = F.concat(F.lit(cname + "-"), F.pmod(h, F.lit(1000)).cast("string"))
         extra_entries.append((cname, F.when(lsn > F.lit(c_lsn), val)))
+    # a column dropped and re-ADDED appears once per add above — collapse to
+    # one map entry per column (the latest add at or below the row's lsn
+    # wins), else map_from_arrays raises DUPLICATED_MAP_KEY
+    by_col: dict[str, list] = {}
+    for cname, val in extra_entries:
+        by_col.setdefault(cname, []).append(val)
+    extra_entries = [
+        (cname, F.coalesce(*reversed(vals)) if len(vals) > 1 else vals[0])
+        for cname, vals in by_col.items()
+    ]
     if extra_entries:
         pairs = []
         for name, val in extra_entries:

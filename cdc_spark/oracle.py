@@ -23,6 +23,22 @@ _TRUE = {"true", "t", "1", "y", "yes"}
 _FALSE = {"false", "f", "0", "n", "no"}
 
 
+_VALID_TYPES = {
+    "string", "long", "int", "double", "boolean", "timestamp", "date",
+    "map<string,string>",
+}
+
+
+def _valid_type(typ: str) -> bool:
+    """Types the replay (and the engine's sql_type) can cast to; bare
+    'decimal' without (p,s) is NOT one of them."""
+    import re
+
+    return typ in _VALID_TYPES or bool(
+        re.fullmatch(r"decimal\(\d+,\s*\d+\)", typ or "")
+    )
+
+
 def _decimal_scale(typ: str) -> tuple[int, int]:
     p, s = typ[len("decimal("):-1].split(",")
     return int(p), int(s)
@@ -156,6 +172,13 @@ def replay(
             if column in key:
                 continue
             names = [n for n, _ in fields]
+            if action in ("add", "retype") and not _valid_type(
+                ch.get("type", "string")
+            ):
+                # mirror lake.evolve_fields: an add/retype naming a type the
+                # engine cannot cast to (e.g. 'varchar', bare 'decimal') is
+                # poison — skipped deterministically, never fatal
+                continue
             if action == "add" and column not in names:
                 fields = fields + [(column, ch.get("type", "string"))]
                 for st in state.values():

@@ -244,9 +244,16 @@ def export_csv(
         # one file per table is the reference's layout (file_snapshot.py
         # one get_table_file per TableConfig) — coalesce(1) is forced by
         # that contract, not a scale choice; key-sorted for determinism
+        # deterministic row order: lake key columns when the TableConfig
+        # projection keeps them, else the first projected column (a column
+        # subset omitting every key column must not turn the sort into a
+        # zero-arg call, which raises and aborts the whole snapshot)
+        sort_cols = [f"`{k}`" for k in lake.key if k in df.columns] or [
+            f"`{df.columns[0]}`"
+        ]
         writer = (
             df.coalesce(1)
-            .sortWithinPartitions(*[f"`{k}`" for k in lake.key if k in df.columns])
+            .sortWithinPartitions(*sort_cols)
             .write.option("header", True)
             .option("escape", '"')          # CSV doubles quotes (COPY CSV)
             .option("emptyValue", '""')     # '' stays distinguishable from NULL
