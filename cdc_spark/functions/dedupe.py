@@ -415,9 +415,76 @@ ORDER BY doc_a, doc_b
 """
 
 
+# -------------------------------------------------- benchmark decontamination
+#: the held-out eval set: the first N_EVAL_DOCS doc_ids (a deterministic
+#: stand-in for a real benchmark suite — in production this is a separate
+#: tiny table). Corpus docs whose distinct-shingle overlap with any single
+#: eval doc reaches DECON_OVERLAP are flagged as contaminated.
+N_EVAL_DOCS = 25
+DECON_OVERLAP = 0.5
+DECON_SHINGLE_N = 5
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag (corpus_doc, eval_doc, overlap)
+    where overlap = |corpus ∩ eval shingles| / |corpus shingles| >=
+    DECON_OVERLAP. The 100 TB shape: the eval shingle set is tiny by
+    definition — BROADCAST it, so the corpus side is one map-side equi-join
+    on the 8-byte shingle hash plus one partial-aggregated groupBy; nothing
+    corpus-sized ever shuffles except the (small) matched intersection."""
+    d = _docs(spark, sf_dir)
+    sh = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(spark_shingles("text", DECON_SHINGLE_N))
+        ).alias("s"),
+    ).select("doc_id", F.expr(spark_poly_hash("s")).alias("h"))
+    ev = (
+        sh.filter(F.col("doc_id") < N_EVAL_DOCS)
+        .select(F.col("doc_id").alias("eval_doc"), "h")
+        .distinct()
+    )
+    corp = sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        corp.join(F.broadcast(ev), "h")
+        .groupBy("doc_id", "eval_doc")
+        .agg(F.count("*").alias("i"))
+    )
+    return (
+        inter.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            "eval_doc",
+            F.round(F.col("i") / F.col("sz"), 4).alias("overlap"),
+        )
+        .filter(F.col("overlap") >= DECON_OVERLAP)
+        .orderBy("doc_id", "eval_doc")
+    )
+
+
+def sql_decontaminate() -> str:
+    return f"""
+WITH sh0 AS (
+  SELECT doc_id, unnest({duck_shingles('text', DECON_SHINGLE_N)}) AS s
+  FROM documents),
+sh AS (SELECT doc_id, {duck_poly_hash('s')} AS h FROM sh0),
+ev AS (SELECT DISTINCT doc_id AS eval_doc, h FROM sh WHERE doc_id < {N_EVAL_DOCS}),
+corp AS (SELECT * FROM sh WHERE doc_id >= {N_EVAL_DOCS}),
+sizes AS (SELECT doc_id, count(*) AS sz FROM corp GROUP BY doc_id),
+inter AS (SELECT c.doc_id, e.eval_doc, count(*) AS i
+          FROM corp c JOIN ev e USING (h) GROUP BY 1, 2)
+SELECT doc_id, eval_doc, round(i * 1.0 / sz, 4) AS overlap
+FROM inter JOIN sizes USING (doc_id)
+WHERE round(i * 1.0 / sz, 4) >= {DECON_OVERLAP}
+ORDER BY doc_id, eval_doc
+"""
+
+
 def registry() -> dict:
     return {
         "exact_dedup": (q_exact_dedup, SQL_EXACT),
+        "decontaminate": (q_decontaminate, sql_decontaminate()),
         "minhash_signature": (q_minhash_signature, sql_minhash_signature()),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
         "simhash": (q_simhash, sql_simhash()),

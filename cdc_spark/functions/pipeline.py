@@ -6,6 +6,8 @@ real corpus-preparation job uses them:
       -> exact dedup            (keep min doc_id per md5(text))
       -> near-dup removal       (MinHash-LSH pairs among survivors; drop the
                                  higher doc_id of every candidate pair)
+      -> decontamination        (drop docs whose shingle overlap with the
+                                 held-out eval set reaches DECON_OVERLAP)
       -> per-source corpus stats (docs kept, total whitespace tokens,
                                   mean quality)
 
@@ -18,7 +20,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .dedupe import q_minhash_lsh_pairs, sql_minhash_lsh_pairs
+from .dedupe import (
+    q_decontaminate,
+    q_minhash_lsh_pairs,
+    sql_decontaminate,
+    sql_minhash_lsh_pairs,
+)
 from .text import q_quality_score, q_token_count, SQL_TOKEN_COUNT, sql_quality_score
 
 QUALITY_MIN = 0.4
@@ -53,6 +60,12 @@ def q_training_pipeline(spark, sf_dir):
     )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = kept.join(drop, "doc_id", "left_anti")
+
+    # decontamination: drop survivors contaminated against the eval holdout
+    contaminated = (
+        q_decontaminate(spark, sf_dir).select("doc_id").distinct()
+    )
+    final = final.join(contaminated, "doc_id", "left_anti")
 
     # mean quality is aggregated in INTEGER space (quality is already
     # rounded to 4 decimals, so x1e4 is exact): a float avg rounds
@@ -91,8 +104,10 @@ surv_pairs AS (
   JOIN kept a ON a.doc_id = p.doc_a
   JOIN kept b ON b.doc_id = p.doc_b),
 dropped AS (SELECT DISTINCT doc_b AS doc_id FROM surv_pairs),
+decon AS (SELECT DISTINCT doc_id FROM ({sql_decontaminate().strip()})),
 final AS (SELECT kept.* FROM kept
-          WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+          WHERE doc_id NOT IN (SELECT doc_id FROM dropped)
+            AND doc_id NOT IN (SELECT doc_id FROM decon))
 SELECT source, count(*) AS n_docs,
        CAST(sum(tok.n_tokens) AS BIGINT) AS total_tokens,
        CAST(sum(CAST(round(quality * 10000) AS BIGINT)) // count(*) AS BIGINT)

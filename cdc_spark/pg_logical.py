@@ -1,0 +1,335 @@
+"""Postgres logical-replication source as a PySpark custom streaming
+DataSource — the reference's core connector
+(``/root/reference/cdc/sources/backends/postgres_logical.py:137-213``)
+re-expressed for the microbatch engine, with the transport INJECTED so the
+slot state machine itself is real, tested logic:
+
+- slot create-if-absent on startup (reference ``__get_cursor``,
+  ``postgres_logical.py:137-168``),
+- resume from the slot's restart LSN across engine restarts,
+- standby keepalives on a cadence while reading (``send_keepalive``,
+  ``postgres_logical.py:199-213``),
+- ``send_feedback(flush_lsn=...)`` advancing the slot ONLY from the commit
+  log — Spark calls :meth:`PgLogicalStreamReader.commit` exactly when a
+  microbatch is durably committed, which is the reference's
+  write-position/flush-position discipline (``cdc/sources/__init__.py:
+  90-121``): the WAL below the flushed LSN becomes reclaimable, and a crash
+  between offset and commit replays the batch instead of losing it.
+
+The wire protocol is a tiny duck-typed surface (``create_replication_slot /
+start_replication / read_message / send_feedback``) so production drops in a
+psycopg2 ``LogicalReplicationConnection`` cursor behind the same reader,
+while tests (and this container, which has no psycopg2) use
+:class:`FakeReplicationServer` — an in-memory Postgres-side model that
+enforces the same slot rules (unknown slot errors, WAL retention from
+``restart_lsn``, duplicate-create errors).
+
+Rows produced are FRAMED (``lsn BIGINT, value STRING``) — exactly what
+``parse.parse_frames`` consumes — so the whole downstream pipeline is
+transport-agnostic.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Iterator, Optional, Tuple
+
+from pyspark.sql.datasource import DataSource, SimpleDataSourceStreamReader
+
+
+class SlotError(RuntimeError):
+    pass
+
+
+# --------------------------------------------------------------------- fake
+class FakeReplicationServer:
+    """FILE-BACKED stand-in for the Postgres side of the replication
+    protocol: all state (WAL messages, slot positions, feedback log) lives
+    under a directory, because Spark runs a Python data-source reader in a
+    separate worker process — an in-memory fake would silently test nothing.
+    The durable state also models reality: the server outlives any number
+    of consumer restarts.
+
+    It enforces the SERVER rules the reader must respect:
+
+    - a slot must exist before ``start_replication`` (else SlotError);
+    - creating an existing slot raises (the reader must catch-and-continue,
+      mirroring the reference's already-exists handling);
+    - messages are retained from ``restart_lsn``; ``send_feedback`` with a
+      flush LSN advances it and RECLAIMS older WAL (so a reader that
+      flushed too early can no longer re-read — the test-visible
+      consequence of a broken commit discipline);
+    - keepalives are logged (cadence assertions).
+    """
+
+    def __init__(self, name: str):
+        import tempfile
+
+        self.name = name
+        self.root = os.path.join(
+            tempfile.gettempdir(), "cdc_fake_wire", name
+        )
+        self._wal_dir = os.path.join(self.root, "wal")
+        os.makedirs(self._wal_dir, exist_ok=True)
+        self._slots_path = os.path.join(self.root, "slots.json")
+        self._fb_path = os.path.join(self.root, "feedbacks.jsonl")
+
+    @classmethod
+    def get(cls, name: str) -> "FakeReplicationServer":
+        return cls(name)
+
+    @classmethod
+    def reset(cls, name: str) -> "FakeReplicationServer":
+        import shutil
+        import tempfile
+
+        shutil.rmtree(
+            os.path.join(tempfile.gettempdir(), "cdc_fake_wire", name),
+            ignore_errors=True,
+        )
+        return cls(name)
+
+    # -- durable state helpers
+    def _read_slots(self) -> dict:
+        if not os.path.exists(self._slots_path):
+            return {}
+        with open(self._slots_path) as fh:
+            return json.load(fh)
+
+    def _write_slots(self, slots: dict) -> None:
+        tmp = self._slots_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(slots, fh)
+        os.replace(tmp, self._slots_path)
+
+    @property
+    def slots(self) -> dict:
+        return self._read_slots()
+
+    @property
+    def wal(self) -> list:
+        out = []
+        for fn in sorted(os.listdir(self._wal_dir)):
+            with open(os.path.join(self._wal_dir, fn)) as fh:
+                out.append((int(fn), fh.read()))
+        return out
+
+    @property
+    def feedbacks(self) -> list:
+        if not os.path.exists(self._fb_path):
+            return []
+        with open(self._fb_path) as fh:
+            return [tuple(json.loads(line)) for line in fh if line.strip()]
+
+    @property
+    def keepalives(self) -> int:
+        return sum(1 for w, f in self.feedbacks if w is None and f is None)
+
+    # -- producer side (tests append WAL like Postgres would)
+    def append(self, lsn: int, payload: str) -> None:
+        w = self.wal
+        if w and lsn <= w[-1][0]:
+            raise ValueError("WAL lsns must be appended in order")
+        with open(os.path.join(self._wal_dir, f"{lsn:018d}"), "w") as fh:
+            fh.write(payload)
+
+    # -- replication protocol surface (what a psycopg2 cursor offers)
+    def create_replication_slot(self, slot_name: str, plugin: str = "wal2json") -> None:
+        slots = self._read_slots()
+        if slot_name in slots:
+            raise SlotError(f'replication slot "{slot_name}" already exists')
+        slots[slot_name] = {"plugin": plugin, "restart_lsn": -1}
+        self._write_slots(slots)
+
+    def start_replication(self, slot_name: str, start_lsn: int | None = None):
+        slots = self._read_slots()
+        if slot_name not in slots:
+            raise SlotError(f'replication slot "{slot_name}" does not exist')
+        lo = max(
+            slots[slot_name]["restart_lsn"],
+            start_lsn if start_lsn is not None else -1,
+        )
+        return _FakeCursor(self, slot_name, lo)
+
+    def send_feedback(
+        self,
+        slot_name: str,
+        write_lsn: int | None = None,
+        flush_lsn: int | None = None,
+    ) -> None:
+        with open(self._fb_path, "a") as fh:
+            fh.write(json.dumps([write_lsn, flush_lsn]) + "\n")
+        if flush_lsn is not None:
+            slots = self._read_slots()
+            if flush_lsn > slots[slot_name]["restart_lsn"]:
+                slots[slot_name]["restart_lsn"] = flush_lsn
+                self._write_slots(slots)
+                # WAL reclamation: segments at or below the slot's
+                # restart_lsn are discarded (single-slot model)
+                for fn in os.listdir(self._wal_dir):
+                    if int(fn) <= flush_lsn:
+                        os.unlink(os.path.join(self._wal_dir, fn))
+
+    def restart_lsn(self, slot_name: str) -> int:
+        return self._read_slots()[slot_name]["restart_lsn"]
+
+
+class _FakeCursor:
+    """The reading side of one ``start_replication`` call."""
+
+    def __init__(self, server: FakeReplicationServer, slot: str, after_lsn: int):
+        self._server = server
+        self._slot = slot
+        self._pos = after_lsn
+        self._pending: list = []
+
+    def read_message(self) -> Optional[tuple[int, str]]:
+        """Next (data_start, payload) after the cursor position, or None
+        when caught up (the reference's ``fetch``,
+        ``postgres_logical.py:176-181``)."""
+        if not self._pending:
+            self._pending = [
+                m for m in self._server.wal if m[0] > self._pos
+            ]
+        if not self._pending:
+            return None
+        msg = self._pending.pop(0)
+        self._pos = msg[0]
+        return msg
+
+    def send_feedback(self, write_lsn=None, flush_lsn=None) -> None:
+        self._server.send_feedback(
+            self._slot, write_lsn=write_lsn, flush_lsn=flush_lsn
+        )
+
+
+def connect_wire(url: str):
+    """Resolve the injectable wire. ``fake://<name>`` -> the named in-memory
+    server; anything else is treated as a Postgres DSN and requires
+    psycopg2 (the production drop-in), gated behind an import-try."""
+    if url.startswith("fake://"):
+        return FakeReplicationServer.get(url[len("fake://"):])
+    try:
+        import psycopg2  # noqa: F401
+        from psycopg2.extras import LogicalReplicationConnection  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "postgres-logical with a real DSN needs psycopg2 (not in this "
+            "container); use wire='fake://<name>' or front the slot with "
+            "the forwarder into Kafka"
+        ) from e
+    raise NotImplementedError(
+        "psycopg2 wire adapter: wrap the LogicalReplicationConnection "
+        "cursor in the FakeReplicationServer surface (create_replication_"
+        "slot/start_replication/read_message/send_feedback)"
+    )
+
+
+# ------------------------------------------------------------- data source
+class PgLogicalStreamReader(SimpleDataSourceStreamReader):
+    """The slot state machine as a Spark stream reader.
+
+    Offsets are ``{"lsn": <last read LSN>}``. ``read`` drains available
+    messages (bounded by ``max_events_per_batch`` — the backpressure knob,
+    reference ``BufferError`` retry ``cdc/producer.py:84-94``) and reports
+    the write position; ``commit`` is the ONLY path that flushes the slot.
+    """
+
+    def __init__(self, options: dict):
+        self._slot = options.get("slot_name", "cdc")
+        self._wire_url = options.get("wire", "fake://default")
+        self._create = str(options.get("create_slot", "true")).lower() == "true"
+        self._max_events = int(options.get("max_events_per_batch", 100_000))
+        self._keepalive_s = float(options.get("keepalive_interval_s", 10.0))
+        self._wire = connect_wire(self._wire_url)
+        if self._create:
+            try:
+                self._wire.create_replication_slot(self._slot)
+            except SlotError:
+                pass  # create-if-absent (reference postgres_logical.py:155-163)
+        self._cursor = self._wire.start_replication(self._slot)
+        self._last_keepalive = time.monotonic()
+
+    def initialOffset(self) -> dict:
+        """First-ever start: begin at the slot's restart LSN (a slot created
+        just now starts at -1 = everything retained)."""
+        return {"lsn": self._wire.restart_lsn(self._slot)}
+
+    def _maybe_keepalive(self) -> None:
+        now = time.monotonic()
+        if now - self._last_keepalive >= self._keepalive_s:
+            self._cursor.send_feedback()  # empty = standby keepalive
+            self._last_keepalive = now
+
+    def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
+        self._maybe_keepalive()
+        rows: list[tuple[int, str]] = []
+        hwm = start["lsn"]
+        cur = self._wire.start_replication(self._slot, start_lsn=hwm)
+        while len(rows) < self._max_events:
+            msg = cur.read_message()
+            if msg is None:
+                break
+            rows.append(msg)
+            hwm = msg[0]
+        if rows:
+            # write position advances with the read; the FLUSH position
+            # only advances in commit() (reference sources/__init__.py:82-106)
+            self._cursor.send_feedback(write_lsn=hwm)
+        return iter(rows), {"lsn": hwm}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
+        """Deterministic replay of a planned-but-uncommitted batch after a
+        crash: the WAL in (start, end] is still retained because the slot
+        only flushed through ``commit``."""
+        cur = self._wire.start_replication(self._slot, start_lsn=start["lsn"])
+        out = []
+        while True:
+            msg = cur.read_message()
+            if msg is None or msg[0] > end["lsn"]:
+                break
+            out.append(msg)
+        return iter(out)
+
+    def commit(self, end: dict) -> None:
+        """Spark committed the microbatch ending at ``end`` durably —
+        advance the slot's flush position; Postgres may now reclaim the WAL
+        at or below it (reference ``commit_positions``,
+        ``postgres_logical.py:186-198``).
+
+        Spark invokes this when the NEXT batch is constructed (the engine's
+        lazy source-commit protocol, same as its Kafka source), so the slot
+        trails the lake by at most one microbatch: WAL retention is bounded
+        by one batch, and a crash in the window replays rows the lake's
+        idempotent batch-id commits deduplicate — never loses them."""
+        if end["lsn"] >= 0:
+            self._cursor.send_feedback(write_lsn=end["lsn"], flush_lsn=end["lsn"])
+
+
+class PgLogicalDataSource(DataSource):
+    """``spark.readStream.format("pg-logical")`` — FRAMED rows
+    (lsn BIGINT, value STRING), options: slot_name, wire, create_slot,
+    max_events_per_batch, keepalive_interval_s."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pg-logical"
+
+    def schema(self) -> str:
+        return "lsn BIGINT, value STRING"
+
+    def simpleStreamReader(self, schema) -> PgLogicalStreamReader:
+        return PgLogicalStreamReader(self.options)
+
+
+_REGISTERED = set()
+
+
+def register(spark) -> None:
+    """Idempotently register the data source with a session."""
+    key = id(spark)
+    if key not in _REGISTERED:
+        spark.dataSource.register(PgLogicalDataSource)
+        _REGISTERED.add(key)

@@ -20,13 +20,14 @@ Shipped backends:
   absent in this container; gated on a classpath check). Reads the
   forwarder's StreamMessage layout: framed payload in ``value``, LSN in the
   ``lsn`` header. ``conf``: ``{"bootstrap": servers, "topic": str}``.
-- ``postgres-logical`` — documented stub for the reference's
-  ``LogicalReplicationConnection`` source
-  (``cdc/sources/backends/postgres_logical.py:137-213``). A JVM/py4j
-  psycopg2 bridge is not available here; in production front the slot with
-  the forwarder (or Debezium) into Kafka and use the ``kafka`` backend, or
-  implement a custom Python data source streaming reader with slot
-  create/resume + keepalive feedback.
+- ``postgres-logical`` — the reference's ``LogicalReplicationConnection``
+  source (``cdc/sources/backends/postgres_logical.py:137-213``) as a custom
+  Python streaming DataSource (``pg_logical.py``): slot create/resume,
+  keepalive cadence, flush-position feedback driven by Spark's batch-commit
+  log. The wire is injectable — tests use the in-memory fake server; a
+  production deployment drops in a psycopg2 adapter behind the same
+  4-method surface (psycopg2 is not in this container). ``conf``:
+  ``{"slot_name": str, "wire": "fake://name", "create_slot": bool}``.
 """
 
 from __future__ import annotations
@@ -127,17 +128,24 @@ def kafka_source(spark: SparkSession, cfg: EngineConfig, conf: dict) -> DataFram
 def postgres_logical_source(
     spark: SparkSession, cfg: EngineConfig, conf: dict
 ) -> DataFrame:
-    """Stub — see module docstring. Signature contract for a production
-    drop-in: conf = {"dsn": str, "slot_name": str, "create_slot": bool,
-    "keepalive_interval_s": float}; must yield FRAMED rows (lsn BIGINT,
-    value STRING) in slot order and advance the slot only from the commit
-    log (flush position), mirroring the reference's send_feedback
-    (postgres_logical.py:186-198)."""
-    raise NotImplementedError(
-        "postgres-logical needs a replication client (psycopg2) that is not "
-        "in this container; front the slot with the forwarder into Kafka "
-        "and use the 'kafka' backend"
-    )
+    """The reference's core connector as a custom Python streaming
+    DataSource (``pg_logical.PgLogicalDataSource``): slot create-if-absent,
+    resume from the restart LSN, keepalive cadence, and send_feedback that
+    advances the slot ONLY from Spark's batch-commit log — the full state
+    machine of ``/root/reference/cdc/sources/backends/postgres_logical.py:
+    137-213``, tested against an in-memory replication wire. conf:
+    {"slot_name": str, "wire": "fake://name" | dsn, "create_slot": bool,
+    "max_events_per_batch": int, "keepalive_interval_s": float}. Yields
+    FRAMED rows -> parsed envelope."""
+    from . import pg_logical
+
+    pg_logical.register(spark)
+    reader = spark.readStream.format("pg-logical")
+    for k in ("slot_name", "wire", "create_slot", "max_events_per_batch",
+              "keepalive_interval_s"):
+        if k in conf:
+            reader = reader.option(k, str(conf[k]))
+    return parse_frames(reader.load())
 
 
 _SOURCES: dict[str, SourceFactory] = {
