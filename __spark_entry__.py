@@ -2,11 +2,11 @@
 
 ``entry`` runs the flagship CDC materialization at sf0.001; ``queries`` /
 ``oracle_sql`` expose every batch-expressible operator from SURVEY.md §2
-plus the training-data ops — ALL 36 paired with DuckDB-runnable ANSI SQL
+plus the training-data ops — ALL 37 paired with DuckDB-runnable ANSI SQL
 (column names aligned on both sides; even the Arrow mapInPandas multimodal
 path is oracled via its portable integer fake decode). Streaming-only ops
-(exactly-once commit protocol, stateful gap monitor) are covered by the
-pytest suite instead.
+(exactly-once commit protocol, stateful gap monitor, the postgres-logical
+slot state machine) are covered by the pytest suite instead.
 """
 
 from __future__ import annotations

@@ -167,6 +167,111 @@ def main() -> None:
     finally:
         shutil.rmtree(synth, ignore_errors=True)
 
+    # ---- ANN quality: recall@5 of trained-IVF search vs the exact
+    # brute-force top-5 (the round-3 Lloyd training's payoff, measured)
+    exact = {
+        (r["query_id"], r["cand_id"])
+        for r in reg["cosine_topk"][0](spark, sf_dir).filter("rank <= 5").collect()
+    }
+    approx = {
+        (r["query_id"], r["cand_id"])
+        for r in reg["ivf_topk"][0](spark, sf_dir).collect()
+    }
+    ivf_recall_at_5 = round(len(exact & approx) / max(len(exact), 1), 3)
+
+    # ---- SimHash band occupancy at sf and at the 10x synthetic corpus:
+    # evidence the 63-bit banding stays non-degenerate under corpus growth
+    # (the round-2 16-bit signature collapsed here: every bucket > cap)
+    from cdc_spark.functions.dedupe import (
+        MAX_BAND_DOCS,
+        _simhash_band_ranges,
+        q_simhash,
+    )
+
+    def _band_occupancy(dir_):
+        sig = q_simhash(spark, dir_)
+        parts = []
+        for band, (shift, width) in enumerate(_simhash_band_ranges()):
+            parts.append(
+                sig.select(
+                    F.lit(band).alias("band"),
+                    F.shiftright("simhash", shift)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .alias("bval"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        occ = u.groupBy("band", "bval").count()
+        row = occ.agg(
+            F.count("*").alias("buckets"),
+            F.max("count").alias("max_occupancy"),
+            F.sum(F.when(F.col("count") > MAX_BAND_DOCS, 1).otherwise(0)).alias(
+                "dropped_buckets"
+            ),
+        ).first()
+        return {
+            "buckets": row["buckets"],
+            "max_occupancy": row["max_occupancy"],
+            "dropped_buckets": int(row["dropped_buckets"]),
+        }
+
+    simhash_occupancy = {"sf": _band_occupancy(sf_dir)}
+
+    # ---- realistic-vocabulary pair run (replaces the cipher probe as the
+    # SEMANTICS probe: Zipf word distribution + known planted near-dups, so
+    # pair growth is meaningful, not fixture leakage). 5k -> 50k docs.
+    realistic: dict[str, dict] = {}
+    if sf >= 0.1:
+        from cdc_spark.loggen import realistic_docs
+
+        rdirs = {}
+        rwork = tempfile.mkdtemp(prefix="cdc_realcorpus_")
+        try:
+            for n in (5_000, 50_000):
+                p = os.path.join(rwork, f"n{n}")
+                realistic_docs(spark, n).repartition(cpus).write.mode(
+                    "overwrite"
+                ).parquet(os.path.join(p, "documents.parquet"))
+                rdirs[n] = p
+            for name in (
+                "minhash_lsh_pairs",
+                "ngram_jaccard_pairs",
+                "simhash_neardup_pairs",
+            ):
+                fn = reg[name][0]
+                entry = {}
+                for n, p in rdirs.items():
+                    t0 = time.time()
+                    pairs = fn(spark, p)
+                    entry[f"pairs_{n}"] = pairs.count()
+                    entry[f"sec_{n}"] = round(time.time() - t0, 3)
+                    # recall on the PLANTED near-dups (every 37th doc is a
+                    # one-token variant of its predecessor) — the quality
+                    # signal the fixture-only runs cannot give
+                    planted = (
+                        spark.range(37, n, 37)
+                        .select(
+                            (F.col("id") - 1).alias("doc_a"),
+                            F.col("id").alias("doc_b"),
+                        )
+                    )
+                    hits = pairs.join(planted, ["doc_a", "doc_b"]).count()
+                    entry[f"planted_recall_{n}"] = round(
+                        hits / max(planted.count(), 1), 3
+                    )
+                entry["pair_growth_10x"] = round(
+                    entry["pairs_50000"] / max(entry["pairs_5000"], 1), 2
+                )
+                entry["time_growth_10x"] = round(
+                    entry["sec_50000"] / max(entry["sec_5000"], 0.01), 2
+                )
+                realistic[name] = entry
+            simhash_occupancy["realistic_50k"] = _band_occupancy(rdirs[50_000])
+        finally:
+            shutil.rmtree(rwork, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -180,6 +285,9 @@ def main() -> None:
                 "ingest_events_per_sec": round(events_per_sec, 1),
                 "cpus": cpus,
                 "pair_stress": pair_stress,
+                "ivf_recall_at_5": ivf_recall_at_5,
+                "simhash_band_occupancy": simhash_occupancy,
+                "realistic_corpus": realistic,
             }
         )
     )

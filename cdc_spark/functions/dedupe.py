@@ -176,42 +176,65 @@ ORDER BY doc_a, doc_b
 
 
 # ----------------------------------------------------------------- simhash
+#: the 63 signature bits come from 3 chained rehashes of the ~30-bit token
+#: poly hash (h1=h, h2=(h1*h1+11)%MOD, h3=(h2*h1+17)%MOD), 21 low bits each
+#: — 3 mod-mults per token instead of 63, with the identical formula in the
+#: DuckDB oracle. Bit b reads ``(h[1+b//21] >> (b%21)) & 1``.
+_SH_FIELD = 21  # bits taken from each rehash = fields per accumulator
+_SH_W = 20      # accumulator field width: per-doc token count must be < 2^20
+                # (a ~5 MB document; for bigger docs widen W / split accs)
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash (63-bit): token hash bit votes summed per doc, sign -> bit.
-    Explode + one groupBy with 63 sums (partial agg). The poly hash itself
-    is only ~30 bits wide (mod 1e9+7), so each signature bit votes on an
-    independent affine REHASH of it — ``((h*a_b + c_b) % MOD) & 1`` with the
-    shared ``mh_params`` coefficients — rather than on raw hash bits (bits
-    >= 30 of the raw hash would be constant zero and the signature
-    degenerate)."""
+    """SimHash (63-bit): token-hash bit votes summed per doc, sign -> bit.
+
+    One explode + ONE narrow groupBy: per token the 63 bits are packed as
+    bit-counts into 21 carry-safe BIGINT accumulators (3 x 20-bit fields
+    each), so the aggregate is 21 sums + a count — wide enough for 63
+    independent votes, narrow enough to stay inside whole-stage codegen
+    (63 separate sum() aggregates measured ~6x slower). Per-bit vote sign
+    is recovered per doc as ``2*count_b > n_tokens``."""
     d = _docs(spark, sf_dir)
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
     ).filter(F.length("t") > 0)
-    h = tok.select("doc_id", F.expr(spark_poly_hash("t")).alias("h"))
-    votes = [
-        F.sum(
-            ((F.col("h") * F.lit(a) + F.lit(c)) % F.lit(MOD))
-            .bitwiseAND(F.lit(1)) * 2 - 1
-        ).alias(f"v{b}")
-        for b, (a, c) in enumerate(mh_params(SIMHASH_BITS))
-    ]
-    agg = h.groupBy("doc_id").agg(*votes)
-    sim = sum(
-        [
-            F.when(F.col(f"v{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
-            for b in range(SIMHASH_BITS)
-        ],
-        F.lit(0),
+    h = tok.select("doc_id", F.expr(spark_poly_hash("t")).alias("h")).select(
+        "doc_id",
+        F.col("h").alias("h1"),
+        F.expr(f"(h * h + 11) % {MOD}").alias("h2"),
     )
-    return agg.select("doc_id", sim.cast("long").alias("simhash")).orderBy("doc_id")
+    h = h.select(
+        "doc_id", "h1", "h2", F.expr(f"(h2 * h1 + 17) % {MOD}").alias("h3")
+    )
+    accs = []
+    for k in range(_SH_FIELD):
+        fields = " + ".join(
+            f"(((h{g + 1} >> {k}) & 1) << {g * _SH_W})" for g in range(3)
+        )
+        accs.append(F.expr(f"CAST({fields} AS BIGINT)").alias(f"a{k}"))
+    packed = h.select("doc_id", *accs)
+    agg = packed.groupBy("doc_id").agg(
+        F.count("*").alias("n"),
+        *[F.sum(f"a{k}").alias(f"s{k}") for k in range(_SH_FIELD)],
+    )
+    bits = []
+    for b in range(SIMHASH_BITS):
+        k, g = b % _SH_FIELD, b // _SH_FIELD
+        bits.append(
+            f"(CASE WHEN 2 * ((s{k} >> {g * _SH_W}) & {(1 << _SH_W) - 1}) > n "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        )
+    sim = " + ".join(bits)
+    return agg.select(
+        "doc_id", F.expr(f"CAST({sim} AS BIGINT)").alias("simhash")
+    ).orderBy("doc_id")
 
 
 def sql_simhash() -> str:
     votes = ", ".join(
-        f"sum((((h * {a} + {c}) % {MOD}) & 1) * 2 - 1) AS v{b}"
-        for b, (a, c) in enumerate(mh_params(SIMHASH_BITS))
+        f"sum(((h{b // _SH_FIELD + 1} >> {b % _SH_FIELD}) & 1) * 2 - 1) AS v{b}"
+        for b in range(SIMHASH_BITS)
     )
     sim = " + ".join(
         f"CASE WHEN v{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
@@ -222,7 +245,9 @@ WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
   FROM documents),
 toknz AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
-hs AS (SELECT doc_id, {duck_poly_hash('t')} AS h FROM toknz),
+hs0 AS (SELECT doc_id, {duck_poly_hash('t')} AS h FROM toknz),
+hs1 AS (SELECT doc_id, h AS h1, (h * h + 11) % {MOD} AS h2 FROM hs0),
+hs AS (SELECT doc_id, h1, h2, (h2 * h1 + 17) % {MOD} AS h3 FROM hs1),
 v AS (SELECT doc_id, {votes} FROM hs GROUP BY doc_id)
 SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM v ORDER BY doc_id
 """

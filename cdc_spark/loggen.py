@@ -292,3 +292,69 @@ def to_frames(df: DataFrame) -> DataFrame:
     """(lsn, value) wire frames; the LSN rides outside the payload like
     wal_msg.data_start in the reference (``postgres_logical.py:176-181``)."""
     return df.select("lsn", frame_value(df).alias("value"))
+
+
+def realistic_docs(
+    spark: SparkSession,
+    n_docs: int,
+    vocab: int = 50_000,
+    neardup_every: int = 37,
+    seed: int = 9,
+) -> DataFrame:
+    """Deterministic document corpus with a REALISTIC text distribution for
+    pair-generator benchmarks — unlike the cipher-slice probe (whose tiny
+    shared vocabulary leaks shingles across slices and inflates pair
+    semantics), this draws words from a ``vocab``-sized Zipf-ish
+    distribution (u^2 skew: a common-word head, a long rare tail) so
+    shingle document-frequencies look like natural text — unrelated docs
+    share stopword-ish shingles but sit well below near-dup similarity,
+    which is what keeps LSH candidate volume meaningful. Every
+    ``neardup_every``-th doc is a TRUE near-duplicate of its predecessor
+    (same body + one extra token), giving the near-dup operators a known
+    linear-in-corpus signal to find. All generation is column expressions —
+    executor-side, no driver data."""
+    df = spark.range(n_docs).select(F.col("id").alias("doc_id"))
+    is_dup = (F.col("doc_id") % neardup_every == 0) & (F.col("doc_id") > 0)
+    base = F.when(is_dup, F.col("doc_id") - 1).otherwise(F.col("doc_id"))
+    h0 = F.abs(F.xxhash64(base, F.lit(seed)))
+    n_words = (F.pmod(h0, F.lit(160)) + 80).cast("int")
+    # word = base-26 LETTER encoding of the Zipf-drawn index (alphabetic
+    # tokens give the character-shingle space natural-text width; digit
+    # tokens collapse it and inflate baseline similarity)
+    widx = lambda i: F.floor(  # noqa: E731
+        F.lit(float(vocab))
+        * F.pow(
+            F.pmod(F.abs(F.xxhash64(base, i, F.lit(seed))), F.lit(1_000_000))
+            / F.lit(1_000_000.0),
+            F.lit(2.0),
+        )
+    ).cast("long")
+    words = F.transform(
+        F.sequence(F.lit(1), n_words),
+        lambda i: F.concat(
+            *[
+                F.char(
+                    F.lit(97)
+                    + F.pmod(
+                        (widx(i) / F.lit(26**k)).cast("long"), F.lit(26)
+                    )
+                )
+                for k in range(4)
+            ]
+        ),
+    )
+    text = F.concat(
+        F.array_join(words, " "),
+        F.when(is_dup, F.lit(" xdup")).otherwise(F.lit("")),
+    )
+    return df.select(
+        "doc_id",
+        text.alias("text"),
+        F.lit("en").alias("lang"),
+        # the dup shares its BASE doc's source block, so source-blocked
+        # operators (ngram_jaccard_pairs) can actually meet the pair
+        F.concat(F.lit("s"), F.pmod(base, F.lit(5)).cast("string")).alias(
+            "source"
+        ),
+        F.length(text).alias("n_chars"),
+    )

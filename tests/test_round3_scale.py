@@ -1,0 +1,153 @@
+"""Round-3 scale fixes: two-phase salted top-k, 63-bit SimHash banding,
+embedding-LSH occupancy cap, trained IVF centroids."""
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from cdc_spark.functions.similarity import (
+    EMB_BANDS,
+    EMB_DIM,
+    MAX_BUCKET_DOCS,
+    N_CENTROIDS,
+    _topk_two_phase,
+    ivf_centroids,
+    q_embedding_neardup_pairs,
+)
+from cdc_spark.functions.dedupe import (
+    MAX_BAND_DOCS,
+    SIMHASH_BITS,
+    _simhash_band_ranges,
+    q_simhash,
+)
+
+SF01 = "/root/testdata/sf0.01"
+
+
+def test_two_phase_topk_equals_global_window(spark):
+    """The salted two-phase reduce must be EXACTLY the global window's
+    result, including ties (deterministic cand_id tie-break)."""
+    scored = spark.range(0, 20000).select(
+        F.pmod("id", F.lit(7)).alias("query_id"),
+        F.col("id").alias("cand_id"),
+        # heavy ties on purpose: score has only 40 distinct values
+        F.pmod(F.xxhash64("id"), F.lit(40)).cast("double").alias("cosine"),
+    )
+    order = [F.desc("cosine"), F.asc("cand_id")]
+    got = _topk_two_phase(scored, 10, order).select(
+        "query_id", "cand_id", "cosine", "rank"
+    )
+    w = Window.partitionBy("query_id").orderBy(*order)
+    want = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+    )
+    assert sorted(got.collect()) == sorted(want.collect())
+
+
+def test_two_phase_topk_plan_salts_the_heavy_window(spark):
+    """No window partition may be keyed by query_id alone before the
+    pre-reduce: the first (heavy) row_number must run over
+    (query_id, _salt) — the fix for the one-task-per-query straggler."""
+    scored = spark.range(0, 1000).select(
+        F.pmod("id", F.lit(3)).alias("query_id"),
+        F.col("id").alias("cand_id"),
+        F.rand(7).alias("cosine"),
+    )
+    out = _topk_two_phase(scored, 10, [F.desc("cosine"), F.asc("cand_id")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    # every rank node (Window / WindowGroupLimit) that is NOT salted must be
+    # the final one over the <= k*salt survivors; the heavy pass must carry
+    # _salt in its partition spec. Catalyst additionally pushes the limit
+    # down as a Partial WindowGroupLimit before the exchange — assert that
+    # map-side pre-reduce survived too.
+    heavy = re.findall(
+        r"Arguments: \[([^\]]*_salt[^\]]*)\], \[cosine", plan
+    )
+    assert heavy, f"no salted rank node in plan:\n{plan}"
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_simhash_63bit_band_occupancy_not_degenerate(spark):
+    """The round-2 failure mode: 8-bit bands made the occupancy cap drop
+    every bucket at corpus scale. With 63-bit signatures the band space is
+    ~65k values: at sf0.01 most buckets must be singletons and NO bucket may
+    come near the cap."""
+    sig = q_simhash(spark, SF01)
+    parts = []
+    for band, (shift, width) in enumerate(_simhash_band_ranges()):
+        parts.append(
+            sig.select(
+                F.lit(band).alias("band"),
+                F.shiftright("simhash", shift)
+                .bitwiseAND(F.lit((1 << width) - 1))
+                .alias("bval"),
+            )
+        )
+    banded = parts[0]
+    for p in parts[1:]:
+        banded = banded.unionByName(p)
+    occ = banded.groupBy("band", "bval").count()
+    stats = occ.agg(
+        F.count("*").alias("buckets"), F.max("count").alias("worst")
+    ).first()
+    assert SIMHASH_BITS == 63
+    assert stats["buckets"] > 400  # 500 docs x 4 bands, mostly distinct
+    assert stats["worst"] < MAX_BAND_DOCS / 4
+
+
+def test_embedding_neardup_occupancy_cap_engages(spark, tmpdir_factory_clean):
+    """A degenerate corpus (every vector identical) must be DROPPED by the
+    per-bucket occupancy cap, not turned into an n^2 pair join."""
+    d = tmpdir_factory_clean("degemb")
+    n = MAX_BUCKET_DOCS + 40
+    vec = [float((i % 7) + 1) for i in range(EMB_DIM)]
+    spark.range(0, n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[F.lit(x) for x in vec]).cast("array<float>").alias(
+            "embedding"
+        ),
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    assert q_embedding_neardup_pairs(spark, d).count() == 0
+
+
+def test_ivf_centroids_are_trained_not_seeds(spark):
+    """Lloyd iterations must actually move the centroids off the seed
+    vectors, and stay deterministic (two runs identical)."""
+    e = (
+        spark.read.parquet(f"{SF01}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    cents = ivf_centroids(e, dim=EMB_DIM).orderBy("cent_id")
+    got = cents.collect()
+    assert 0 < len(got) <= N_CENTROIDS
+    seeds = {
+        r["vec_id"]: r["v"]
+        for r in e.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    }
+    moved = sum(
+        1 for r in got if r["cent_id"] in seeds and list(r["cv"]) != seeds[r["cent_id"]]
+    )
+    assert moved == len(got)  # integer-scaled means never equal raw seeds
+    again = ivf_centroids(e, dim=EMB_DIM).orderBy("cent_id").collect()
+    assert [list(r["cv"]) for r in again] == [list(r["cv"]) for r in got]
+
+
+def test_embedding_bands_cover_disjoint_projections():
+    """Each band must use its own projection set (OR-amplification needs
+    independent hash tables, not four copies of one)."""
+    from cdc_spark.functions.similarity import _proj_sign
+
+    rows = [
+        tuple(_proj_sign(d, band * 12 + j) for d in range(16) for j in range(12))
+        for band in range(EMB_BANDS)
+    ]
+    assert len(set(rows)) == EMB_BANDS

@@ -30,9 +30,18 @@ def test_registry_names_and_unknown(spark):
         build_source(spark, EngineConfig(), "nope")
 
 
-def test_postgres_stub_and_kafka_gate(spark):
-    with pytest.raises(NotImplementedError):
-        build_source(spark, EngineConfig(), "postgres-logical", {"dsn": "x"})
+def test_postgres_wire_gate_and_kafka_gate(spark):
+    # the postgres-logical backend is REAL now (pg_logical.py); a non-fake
+    # wire needs psycopg2, absent in this container -> explicit gate
+    from cdc_spark.pg_logical import connect_wire
+
+    with pytest.raises(RuntimeError, match="psycopg2"):
+        connect_wire("postgresql://x")
+    df = build_source(
+        spark, EngineConfig(), "postgres-logical",
+        {"wire": "fake://gate-test", "slot_name": "s"},
+    )
+    assert df.isStreaming
     # jar absent in this container -> explicit gate, not a cryptic classpath error
     with pytest.raises(RuntimeError, match="spark-sql-kafka"):
         build_source(spark, EngineConfig(), "kafka", {"bootstrap": "b:9092"})
