@@ -141,6 +141,24 @@ def test_ivf_centroids_are_trained_not_seeds(spark):
     assert [list(r["cv"]) for r in again] == [list(r["cv"]) for r in got]
 
 
+def test_no_driver_query_plans_a_single_partition_exchange(spark):
+    """The README's claim, asserted: every driver-contract query compiles
+    to a plan with NO Exchange SinglePartition — no operator funnels the
+    data through one task (global sorts are range-partitioned; global
+    reduces are partial-aggregated)."""
+    from cdc_spark.queries import registry
+
+    sf = "/root/testdata/sf0.001"
+    offenders = []
+    for name, (fn, _sql) in registry().items():
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            fn(spark, sf).explain("formatted")
+        if "Exchange SinglePartition" in buf.getvalue():
+            offenders.append(name)
+    assert offenders == []
+
+
 def test_embedding_bands_cover_disjoint_projections():
     """Each band must use its own projection set (OR-amplification needs
     independent hash tables, not four copies of one)."""
@@ -151,3 +169,41 @@ def test_embedding_bands_cover_disjoint_projections():
         for band in range(EMB_BANDS)
     ]
     assert len(set(rows)) == EMB_BANDS
+
+
+def test_realistic_corpus_planted_dups_found(spark, tmpdir_factory_clean):
+    """The bench's realistic corpus: jaccard must find EXACTLY the planted
+    near-dup pairs (perfect precision and recall) at small scale."""
+    from cdc_spark.functions.dedupe import q_ngram_jaccard_pairs
+    from cdc_spark.loggen import realistic_docs
+
+    d = tmpdir_factory_clean("realcorp")
+    n = 1500
+    realistic_docs(spark, n).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_ngram_jaccard_pairs(spark, d).collect()
+    }
+    want = {(i - 1, i) for i in range(37, n, 37)}
+    assert got == want
+
+
+def test_decontaminate_flags_verbatim_copy(spark, tmpdir_factory_clean):
+    """A corpus doc that IS an eval doc verbatim must be flagged with
+    overlap 1.0 against that eval doc."""
+    from cdc_spark.functions.dedupe import N_EVAL_DOCS, q_decontaminate
+
+    d = tmpdir_factory_clean("decon")
+    eval_text = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, f"clean document number {i} with its own private words", "en",
+             "s0", 40) for i in range(N_EVAL_DOCS + 10)]
+    rows[3] = (3, eval_text, "en", "s0", len(eval_text))      # eval doc
+    rows[30] = (30, eval_text, "en", "s0", len(eval_text))    # contaminated
+    spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars INT"
+    ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+    got = {(r["doc_id"], r["eval_doc"]): r["overlap"]
+           for r in q_decontaminate(spark, d).collect()}
+    assert got[(30, 3)] == 1.0
