@@ -495,6 +495,60 @@ class LakeTable:
             return live
         return live.select(*[f"`{n}`" for n, _ in fields])
 
+    # -------------------------------------------------------------- lookups
+    def _files_for_key(self, key_value: tuple) -> list[dict]:
+        """Manifest files that can contain ``key_value``: the key's hash
+        bucket, then min/max first-key-column footer-stat pruning within
+        it. Driver-side metadata math only — no scan."""
+        kv = tuple(key_value)
+        if len(kv) != len(self.key):
+            raise ValueError(f"expected {len(self.key)} key values, got {len(kv)}")
+        # one-row local job: the bucket hash is the JVM's xxhash64, so it
+        # must be computed BY the JVM (no data read — a literal frame)
+        types = dict(self.schema_fields())
+        ddl = ", ".join(
+            f"`{k}` {sql_type(types.get(k, 'string'))}" for k in self.key
+        )
+        bucket = (
+            self.spark.createDataFrame([kv], ddl)
+            .select(bucket_expr(self.key, self.n_buckets).alias("b"))
+            .first()["b"]
+        )
+        k1 = kv[0]
+        out = []
+        for f in self._meta["files"]:
+            if f["bucket"] != bucket:
+                continue
+            mn, mx = f.get("min_key"), f.get("max_key")
+            try:
+                if mn is not None and mx is not None and (k1 < mn or k1 > mx):
+                    continue
+            except TypeError:
+                pass  # mixed-type stats: keep the file
+            out.append(f)
+        return out
+
+    def lookup(self, key_value: tuple) -> DataFrame:
+        """Point lookup for one key: scans ONLY the files whose bucket and
+        key range can contain it (typically one file regardless of table
+        size — the O(1)-ish read the per-file footer stats buy)."""
+        files = self._files_for_key(key_value)
+        fields = self.schema_fields()
+        df = self._read_files(files, fields, changes=self._parsed_changes())
+        if df is None:
+            ddl = ", ".join(
+                f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
+            )
+            df = self.spark.createDataFrame([], ddl)
+        cond = None
+        for k, v in zip(self.key, key_value):
+            c = F.col(k) == F.lit(v)
+            cond = c if cond is None else (cond & c)
+        live = df.filter(
+            (~F.col("_deleted")) & (F.col("_lsn") > F.lit(self.truncate_lsn))
+        )
+        return live.filter(cond).select(*[f"`{n}`" for n, _ in fields])
+
     # -------------------------------------------------------------- merging
     def merge(
         self,

@@ -275,3 +275,25 @@ def test_file_skipping_soak_equivalence(spark, tmpdir_factory_clean):
         )
     lake = applier.lake_for("repos")
     assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
+
+
+def test_point_lookup_prunes_to_containing_files(spark, tmpdir_factory_clean):
+    """lookup() must scan only files whose bucket + key range can contain
+    the key — one file here despite three merges into the same bucket."""
+    root = tmpdir_factory_clean("lookup")
+    lake = LakeTable.create(
+        spark, os.path.join(root, "t"), fields=list(BASE_FIELDS), n_buckets=1
+    )
+    lake.merge(_mk_batch(spark, [f"repo-{c}" for c in "abcdefgh"], 100),
+               batch_id=0, lsn_hwm=200, batch_rows=8)
+    lake.merge(_mk_batch(spark, [f"repo-{c}" for c in "qrstuvwx"], 300),
+               batch_id=1, lsn_hwm=400, batch_rows=8,
+               bucket_key_ranges={0: ("repo-q", "repo-x")})
+    assert len(lake.meta["files"]) >= 2
+    picked = lake._files_for_key(("repo-s", "src/main.py"))
+    assert len(picked) == 1
+    assert picked[0]["min_key"] <= "repo-s" <= picked[0]["max_key"]
+    got = lake.lookup(("repo-s", "src/main.py")).collect()
+    assert len(got) == 1 and got[0]["content"] == "body-repo-s-302"
+    # a missing key: zero candidate files when outside every range
+    assert lake.lookup(("repo-zzz", "src/main.py")).count() == 0
