@@ -5,9 +5,18 @@ from __future__ import annotations
 
 
 def registry() -> dict:
-    from . import dedupe, multimodal, pipeline, similarity, temporal, text
+    from . import (
+        dedupe,
+        multimodal,
+        pipeline,
+        sampling,
+        similarity,
+        temporal,
+        text,
+    )
 
     out: dict = {}
-    for mod in (text, dedupe, similarity, multimodal, temporal, pipeline):
+    for mod in (text, dedupe, similarity, multimodal, temporal, sampling,
+                pipeline):
         out.update(mod.registry())
     return out

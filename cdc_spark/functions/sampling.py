@@ -1,0 +1,90 @@
+"""Deterministic corpus sampling for training-data mixes.
+
+A training run rarely takes a corpus whole: sources are re-weighted
+(up/down-sampled) to a target mixture. The operator must be DETERMINISTIC
+(same corpus -> same sample, for reproducible runs and resumable pipelines)
+and engine-independent, so membership is decided by the portable polynomial
+hash — never ``rand()``. Everything is integer arithmetic, so the DuckDB
+oracle is hash-exact.
+
+The 100 TB shape: a sample is one map-side filter (no shuffle at all); the
+per-source report is one partial-aggregated groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ._portable import duck_poly_hash, spark_poly_hash
+
+#: membership granularity (basis points of 10^4)
+SAMPLE_MOD = 10_000
+
+
+def _rate_x1e4_spark(source_col: str):
+    """Per-source keep-rate in [2500, 7450] basis points, derived from the
+    portable hash of the source name (integer space end-to-end)."""
+    h = F.expr(spark_poly_hash(source_col))
+    return (F.lit(2500) + F.lit(50) * F.pmod(h, F.lit(100))).cast("long")
+
+
+def _rate_x1e4_duck(expr: str) -> str:
+    return f"CAST(2500 + 50 * ({duck_poly_hash(expr)} % 100) AS BIGINT)"
+
+
+def _member_hash_spark():
+    """Per-row coin: portable hash of 'source:doc_id'."""
+    key = "concat(source, ':', CAST(doc_id AS STRING))"
+    return F.pmod(F.expr(spark_poly_hash(key)), F.lit(SAMPLE_MOD))
+
+
+def stratified_sample(docs):
+    """Rows kept by the per-source deterministic rate — a pure map-side
+    filter usable as a pipeline stage."""
+    rate = _rate_x1e4_spark("source")
+    return docs.filter(_member_hash_spark() < rate)
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-source sampling report: total docs, kept docs, the configured
+    rate, and the kept token mass (whitespace tokens) — the numbers a
+    mixture designer actually reads."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = _rate_x1e4_spark("source")
+    kept = (_member_hash_spark() < rate).cast("int")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.max(rate).alias("rate_x1e4"),
+            F.sum(kept * ntok).cast("long").alias("kept_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_sample_stratified() -> str:
+    key = "source || ':' || CAST(doc_id AS VARCHAR)"
+    member = f"{duck_poly_hash(key)} % {SAMPLE_MOD}"
+    rate = _rate_x1e4_duck("source")
+    return rf"""
+WITH d AS (
+  SELECT source,
+         CASE WHEN ({member}) < ({rate}) THEN 1 ELSE 0 END AS kept,
+         len(string_split_regex(trim(text), '\s+')) AS ntok,
+         {rate} AS rate_x1e4
+  FROM documents)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       max(rate_x1e4) AS rate_x1e4,
+       CAST(sum(kept * ntok) AS BIGINT) AS kept_tokens
+FROM d GROUP BY source ORDER BY source
+"""
+
+
+def registry() -> dict:
+    return {
+        "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
+    }
