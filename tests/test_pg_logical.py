@@ -155,3 +155,38 @@ def test_pg_logical_stream_end_to_end(spark, tmpdir_factory_clean):
     q3.awaitTermination()
     lake3 = applier3.lake_for("repos").refresh()
     assert_matches(lake3.read().toPandas(), replay(full.toPandas(), cfg.base_fields))
+
+
+def test_pg_logical_via_yaml_config(spark, tmpdir_factory_clean):
+    """The jsonschema-validated YAML config wires the postgres-logical
+    backend end-to-end (what `python -m cdc_spark consumer --config` runs)."""
+    from cdc_spark.config import load_config
+    from cdc_spark.stream import start_stream
+
+    srv = FakeReplicationServer.reset("yamlcfg")
+    log = change_log(spark, 300, n_repos=6, n_paths=3, seed=59)
+    for row in to_frames(log).orderBy("lsn").collect():
+        srv.append(row["lsn"], row["value"])
+    root = tmpdir_factory_clean("pgyaml")
+    cfg_path = os.path.join(root, "cdc.yml")
+    with open(cfg_path, "w") as fh:
+        fh.write(f"""
+version: 1
+source:
+  backend: postgres-logical
+  wire: fake://yamlcfg
+  slot_name: cdc
+lake:
+  root: {root}/lake
+  checkpoint: {root}/ck
+  buckets: 4
+""")
+    cfg, doc = load_config(cfg_path)
+    src = dict(doc["source"])
+    backend = src.pop("backend")
+    q, applier = start_stream(
+        spark, None, cfg, source=backend, source_conf=src
+    )
+    q.awaitTermination()
+    lake = applier.lake_for("repos")
+    assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
