@@ -181,8 +181,17 @@ ORDER BY doc_a, doc_b
 #: — 3 mod-mults per token instead of 63, with the identical formula in the
 #: DuckDB oracle. Bit b reads ``(h[1+b//21] >> (b%21)) & 1``.
 _SH_FIELD = 21  # bits taken from each rehash = fields per accumulator
-_SH_W = 20      # accumulator field width: per-doc token count must be < 2^20
-                # (a ~5 MB document; for bigger docs widen W / split accs)
+_SH_W = 21      # accumulator field width (3 x 21 = 63 bits, sign-safe)
+#: docs longer than this many CHARACTERS are EXCLUDED from signatures in
+#: BOTH engines (an enforced bound, not a silent overflow): a whitespace
+#: token is >= 2 chars incl. separator, so the bound caps per-doc token
+#: counts at (2^22-1)/2 < 2^21, strictly below what a packed field can
+#: count. Without the bound a field carry would
+#: corrupt neighboring bit votes undetectably, and ANSI sum overflow on
+#: the top field would crash the job. The filter runs BEFORE the explode
+#: (a ~4 MB single doc never fans out), mirrored in the oracle. Pair such
+#: pathological docs via the exact (jaccard) path instead.
+SIMHASH_MAX_CHARS = (1 << 22) - 2
 
 
 def q_simhash(spark, sf_dir):
@@ -194,7 +203,9 @@ def q_simhash(spark, sf_dir):
     independent votes, narrow enough to stay inside whole-stage codegen
     (63 separate sum() aggregates measured ~6x slower). Per-bit vote sign
     is recovered per doc as ``2*count_b > n_tokens``."""
-    d = _docs(spark, sf_dir)
+    d = _docs(spark, sf_dir).filter(
+        F.length("text") <= SIMHASH_MAX_CHARS
+    )
     tok = d.select(
         "doc_id",
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("t"),
@@ -243,7 +254,7 @@ def sql_simhash() -> str:
     return rf"""
 WITH tok AS (
   SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\s+')) AS t
-  FROM documents),
+  FROM documents WHERE length(text) <= {SIMHASH_MAX_CHARS}),
 toknz AS (SELECT doc_id, t FROM tok WHERE length(t) > 0),
 hs0 AS (SELECT doc_id, {duck_poly_hash('t')} AS h FROM toknz),
 hs1 AS (SELECT doc_id, h AS h1, (h * h + 11) % {MOD} AS h2 FROM hs0),
@@ -450,26 +461,31 @@ DECON_OVERLAP = 0.5
 DECON_SHINGLE_N = 5
 
 
-def q_decontaminate(spark, sf_dir):
-    """Benchmark decontamination: flag (corpus_doc, eval_doc, overlap)
-    where overlap = |corpus ∩ eval shingles| / |corpus shingles| >=
-    DECON_OVERLAP. The 100 TB shape: the eval shingle set is tiny by
-    definition — BROADCAST it, so the corpus side is one map-side equi-join
-    on the 8-byte shingle hash plus one partial-aggregated groupBy; nothing
-    corpus-sized ever shuffles except the (small) matched intersection."""
-    d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        F.explode(
-            F.expr(spark_shingles("text", DECON_SHINGLE_N))
-        ).alias("s"),
-    ).select("doc_id", F.expr(spark_poly_hash("s")).alias("h"))
+def decontaminate_pairs(eval_docs, corpus_docs):
+    """Flag (corpus doc_id, eval_doc, overlap) pairs where overlap =
+    |corpus ∩ eval shingles| / |corpus shingles| >= DECON_OVERLAP.
+
+    ``eval_docs`` / ``corpus_docs`` carry (doc_id, text). The 100 TB
+    shape: the eval shingle set is tiny by definition — BROADCAST it, so
+    the corpus side is one map-side equi-join on the 8-byte shingle hash
+    plus one partial-aggregated groupBy; nothing corpus-sized ever shuffles
+    except the (small) matched intersection. Taking the corpus as a
+    DataFrame lets a pipeline shingle only its SURVIVORS instead of the
+    whole table."""
+    def _sh(docs):
+        return docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(spark_shingles("text", DECON_SHINGLE_N))
+            ).alias("s"),
+        ).select("doc_id", F.expr(spark_poly_hash("s")).alias("h"))
+
     ev = (
-        sh.filter(F.col("doc_id") < N_EVAL_DOCS)
+        _sh(eval_docs)
         .select(F.col("doc_id").alias("eval_doc"), "h")
         .distinct()
     )
-    corp = sh.filter(F.col("doc_id") >= N_EVAL_DOCS)
+    corp = _sh(corpus_docs)
     sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         corp.join(F.broadcast(ev), "h")
@@ -484,8 +500,17 @@ def q_decontaminate(spark, sf_dir):
             F.round(F.col("i") / F.col("sz"), 4).alias("overlap"),
         )
         .filter(F.col("overlap") >= DECON_OVERLAP)
-        .orderBy("doc_id", "eval_doc")
     )
+
+
+def q_decontaminate(spark, sf_dir):
+    """The oracled instance over the documents table: eval holdout =
+    doc_id < N_EVAL_DOCS, corpus = the rest."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    return decontaminate_pairs(
+        d.filter(F.col("doc_id") < N_EVAL_DOCS),
+        d.filter(F.col("doc_id") >= N_EVAL_DOCS),
+    ).orderBy("doc_id", "eval_doc")
 
 
 def sql_decontaminate() -> str:

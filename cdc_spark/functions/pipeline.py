@@ -21,9 +21,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .dedupe import (
-    q_decontaminate,
+    decontaminate_pairs,
     q_minhash_lsh_pairs,
-    sql_decontaminate,
     sql_minhash_lsh_pairs,
 )
 from .text import q_quality_score, q_token_count, SQL_TOKEN_COUNT, sql_quality_score
@@ -32,12 +31,18 @@ QUALITY_MIN = 0.4
 
 
 def q_training_pipeline(spark, sf_dir):
+    from .dedupe import N_EVAL_DOCS
+
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
     tokens = q_token_count(spark, sf_dir).select("doc_id", "n_tokens")
 
+    # the eval HOLDOUT never enters the training corpus — excluding only
+    # docs that overlap it while shipping the eval docs themselves would
+    # be 100% contamination of the set the stage protects
     kept = (
         d.select("doc_id", "source", "text")
+        .filter(F.col("doc_id") >= N_EVAL_DOCS)
         .join(quality, "doc_id")
         .filter(F.col("quality") >= QUALITY_MIN)
     )
@@ -61,10 +66,15 @@ def q_training_pipeline(spark, sf_dir):
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     final = kept.join(drop, "doc_id", "left_anti")
 
-    # decontamination: drop survivors contaminated against the eval holdout
-    contaminated = (
-        q_decontaminate(spark, sf_dir).select("doc_id").distinct()
-    )
+    # decontamination: drop survivors contaminated against the eval holdout.
+    # Only the SURVIVORS are shingled (decontaminate_pairs takes the corpus
+    # as a frame) — shingling docs the earlier stages already discarded is
+    # the dominant wasted cost at scale; the eval side always comes from
+    # the full table (the holdout is never quality-filtered away).
+    contaminated = decontaminate_pairs(
+        d.select("doc_id", "text").filter(F.col("doc_id") < N_EVAL_DOCS),
+        final.select("doc_id", "text"),
+    ).select("doc_id").distinct()
     final = final.join(contaminated, "doc_id", "left_anti")
 
     # mean quality is aggregated in INTEGER space (quality is already
@@ -86,6 +96,8 @@ def q_training_pipeline(spark, sf_dir):
 
 
 def sql_training_pipeline() -> str:
+    from .dedupe import N_EVAL_DOCS, sql_decontaminate
+
     quality = sql_quality_score().strip()
     tokens = SQL_TOKEN_COUNT.strip()
     pairs = sql_minhash_lsh_pairs().strip()
@@ -95,7 +107,7 @@ tok AS ({tokens}),
 kept0 AS (
   SELECT d.doc_id, d.source, d.text, q.quality
   FROM documents d JOIN q USING (doc_id)
-  WHERE q.quality >= {QUALITY_MIN}),
+  WHERE q.quality >= {QUALITY_MIN} AND d.doc_id >= {N_EVAL_DOCS}),
 canon AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
 kept AS (SELECT kept0.* FROM kept0 JOIN canon USING (doc_id)),
 pairs AS ({pairs}),

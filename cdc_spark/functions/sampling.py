@@ -41,24 +41,29 @@ def _member_hash_spark():
 def stratified_sample(docs):
     """Rows kept by the per-source deterministic rate — a pure map-side
     filter usable as a pipeline stage."""
-    rate = _rate_x1e4_spark("source")
-    return docs.filter(_member_hash_spark() < rate)
+    return docs.filter(sample_member())
+
+
+def sample_member():
+    """Boolean keep-column (for frames carrying doc_id + source) — the ONE
+    membership rule ``stratified_sample`` and the report both read."""
+    return _member_hash_spark() < _rate_x1e4_spark("source")
 
 
 def q_sample_stratified(spark, sf_dir):
     """Per-source sampling report: total docs, kept docs, the configured
     rate, and the kept token mass (whitespace tokens) — the numbers a
-    mixture designer actually reads."""
+    mixture designer actually reads. Derives membership from the same
+    expression ``stratified_sample`` filters with."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    rate = _rate_x1e4_spark("source")
-    kept = (_member_hash_spark() < rate).cast("int")
+    kept = sample_member().cast("int")
     ntok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     return (
         d.groupBy("source")
         .agg(
             F.count("*").alias("n_docs"),
             F.sum(kept).alias("n_kept"),
-            F.max(rate).alias("rate_x1e4"),
+            F.max(_rate_x1e4_spark("source")).alias("rate_x1e4"),
             F.sum(kept * ntok).cast("long").alias("kept_tokens"),
         )
         .orderBy("source")

@@ -116,8 +116,18 @@ ORDER BY query_id, rank
 
 
 def _proj_sign(d: int, j: int) -> int:
-    """Deterministic pseudo-random ±1 projection component (shared rule)."""
-    return 1 if ((d * 31 + j * 17) % 7) < 3 else -1
+    """Deterministic pseudo-random ±1 projection component (shared rule).
+
+    Computed in PYTHON and baked into both engines' expressions as literal
+    coefficients, so it needs no cross-engine arithmetic — it needs to be
+    a real hash: the round-3 review caught the old affine form
+    ``(d*31 + j*17) % 7`` collapsing (31 ≡ 17 ≡ 3 mod 7) to a function of
+    ``(d+j) % 7`` — 7 distinct hyperplanes total, every band the SAME
+    partition, OR-amplification a no-op. sha256 gives independent signs."""
+    import hashlib
+
+    digest = hashlib.sha256(f"proj:{d}:{j}".encode()).digest()
+    return 1 if digest[0] & 1 else -1
 
 
 def q_ann_lsh_buckets(spark, sf_dir, dim: int = 64):
@@ -355,11 +365,13 @@ NEARDUP_COSINE = 0.4
 #: independent bands of EMB_BAND_BITS sign projections each; candidates
 #: share ANY band (OR-amplification, the classic L-hash-tables construction
 #: — raising recall without widening any single bucket join). Bucket-space
-#: sizing rule at scale: band_bits ~ log2(n_docs / target_occupancy); the
-#: pinned 12 bits (4096 values/band) is that rule's output for the fixture
-#: range and stays sparse ~100x longer than the round-2 single 8-bit code.
+#: SIZING RULE at scale: band_bits ~ log2(n_docs / target_occupancy). The
+#: pinned default is that rule's output for the driver fixture
+#: (log2(500/2) = 8); every function below takes ``bits`` so a larger
+#: corpus instantiates wider bands (see test_round3_scale's 16-bit run) —
+#: with the occupancy cap guarding whatever width is chosen.
 EMB_BANDS = 4
-EMB_BAND_BITS = 12
+EMB_BAND_BITS = 8
 #: per-(band, bucket) occupancy cap — the same degenerate-bucket guard as
 #: the text-LSH paths (a bucket that popular carries no near-dup signal but
 #: k^2/2 join rows); mirrored in the oracle, so it is part of the
@@ -367,12 +379,12 @@ EMB_BAND_BITS = 12
 MAX_BUCKET_DOCS = 1024
 
 
-def _band_bucket_expr(dim: int, band: int):
-    """Spark Column: EMB_BAND_BITS sign bits of band-specific projections."""
+def _band_bucket_expr(dim: int, band: int, bits: int = EMB_BAND_BITS):
+    """Spark Column: ``bits`` sign bits of band-specific projections."""
     v = F.col("embedding").cast("array<double>")
     bucket = F.lit(0)
-    for j in range(EMB_BAND_BITS):
-        g = band * EMB_BAND_BITS + j
+    for j in range(bits):
+        g = band * bits + j
         terms = [
             F.element_at(v, d + 1) * F.lit(float(_proj_sign(d, g)))
             for d in range(dim)
@@ -382,31 +394,31 @@ def _band_bucket_expr(dim: int, band: int):
     return bucket.cast("int")
 
 
-def _band_bucket_sql(dim: int, band: int) -> str:
-    bits = []
-    for j in range(EMB_BAND_BITS):
-        g = band * EMB_BAND_BITS + j
+def _band_bucket_sql(dim: int, band: int, bits: int = EMB_BAND_BITS) -> str:
+    out = []
+    for j in range(bits):
+        g = band * bits + j
         dot = " + ".join(
             f"v[{d + 1}] * ({_proj_sign(d, g)})" for d in range(dim)
         )
-        bits.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
-    return " + ".join(bits)
+        out.append(f"CASE WHEN ({dot}) > 0 THEN {1 << j} ELSE 0 END")
+    return " + ".join(out)
 
 
-def q_embedding_neardup_pairs(spark, sf_dir):
+def q_embedding_neardup_pairs(spark, sf_dir, bits: int = EMB_BAND_BITS):
     """Embedding-cosine near-duplicate pairs, multi-band LSH blocked:
     candidates must share one of EMB_BANDS sign-projection buckets
     (equi-join on (band, bucket), never all-pairs), overcrowded buckets are
     dropped by the occupancy cap, exact cosine confirms survivors. The
     100 TB shape: shuffle by bucket key, per-bucket join cost bounded by
-    MAX_BUCKET_DOCS^2."""
+    MAX_BUCKET_DOCS^2, band width sized to the corpus (module docstring)."""
     e = _emb(spark, sf_dir)
     parts = [
         e.select(
             "vec_id",
             F.col("embedding").cast("array<double>").alias("v"),
             F.lit(band).alias("band"),
-            _band_bucket_expr(EMB_DIM, band).alias("bucket"),
+            _band_bucket_expr(EMB_DIM, band, bits).alias("bucket"),
         )
         for band in range(EMB_BANDS)
     ]

@@ -132,8 +132,9 @@ def replay_changes(
     stores and every reader re-derives validity with this one function.
 
     Returns ``(final_fields, aligned, epochs)`` where ``aligned[i]`` is the
-    parsed dict for ``raw_pairs[i]`` or None if skipped (so per-file
-    ``change_idx`` values keep indexing the raw history), and ``epochs`` is
+    parsed dict for ``raw_pairs[i]`` or None if skipped (aligned with the
+    raw history, whose entries carry the LSNs per-file ``change_lsn``
+    stamps compare against), and ``epochs`` is
     ``[(lower_lsn, fields, aligned_upper_idx)]`` — rows with
     ``lsn > lower_lsn`` (and below the next epoch's) were written under
     ``fields``, with ``aligned[aligned_upper_idx:]`` still ahead of them."""
@@ -446,16 +447,22 @@ class LakeTable:
             return None
         by_grp: dict[tuple, list[str]] = {}
         for f in files:
-            grp = (f["schema_id"], f.get("change_lsn"))
+            grp = (f["schema_id"], f.get("change_lsn"), f.get("change_idx"))
             by_grp.setdefault(grp, []).append(os.path.join(self.root, f["path"]))
         parts = []
-        for (sid, clsn), paths in by_grp.items():
+        for (sid, clsn, cidx), paths in by_grp.items():
             src_fields = self.schema_fields(sid)
-            tail = (
-                [c for l, c in changes if l > clsn]
-                if changes is not None and clsn is not None
-                else None
-            )
+            if changes is None:
+                tail = None
+            elif clsn is not None:
+                tail = [c for l, c in changes if l > clsn]
+            elif cidx is not None:
+                # pre-round-3 manifest: the stamp is a POSITION into the
+                # raw history; honor it so an upgraded lake keeps folding
+                # its retype chains (new commits re-stamp with the LSN)
+                tail = [c for _l, c in changes[cidx:]]
+            else:
+                tail = None
             df = self.spark.read.parquet(*paths)
             parts.append(project_to(df, src_fields, target_fields, tail))
         out = parts[0]

@@ -245,11 +245,12 @@ def export_csv(
         # one get_table_file per TableConfig) — coalesce(1) is forced by
         # that contract, not a scale choice; key-sorted for determinism
         # deterministic row order: lake key columns when the TableConfig
-        # projection keeps them, else the first projected column (a column
-        # subset omitting every key column must not turn the sort into a
-        # zero-arg call, which raises and aborts the whole snapshot)
+        # projection keeps them (byte-stable against the golden files),
+        # else ALL projected columns — a single non-unique column would
+        # leave tie order to upstream partitioning and flake diff-based
+        # snapshot comparisons (and a zero-arg sort raises outright)
         sort_cols = [f"`{k}`" for k in lake.key if k in df.columns] or [
-            f"`{df.columns[0]}`"
+            f"`{c}`" for c in df.columns
         ]
         writer = (
             df.coalesce(1)

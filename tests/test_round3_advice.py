@@ -297,3 +297,61 @@ def test_point_lookup_prunes_to_containing_files(spark, tmpdir_factory_clean):
     assert len(got) == 1 and got[0]["content"] == "body-repo-s-302"
     # a missing key: zero candidate files when outside every range
     assert lake.lookup(("repo-zzz", "src/main.py")).count() == 0
+
+
+def test_legacy_change_idx_manifests_still_fold_chains(spark, tmpdir_factory_clean):
+    """A lake written before the change_lsn stamp (files carrying the old
+    positional change_idx) must still fold its retype chains on read."""
+    root = tmpdir_factory_clean("legacy")
+    changes = {
+        500: {"action": "add", "column": "stars", "type": "long"},
+        900: {"action": "retype", "column": "stars", "type": "string"},
+    }
+    log = change_log(spark, 1500, n_repos=8, n_paths=3,
+                     schema_changes=changes, seed=61)
+    cfg = _cfg(root)
+    applier = CdcApply(spark, cfg)
+    applier.apply_batch(log, 0)
+    lake = applier.lake_for("repos")
+    want = lake.read().toPandas()
+    # rewrite the manifest as the old format: positional index instead of
+    # the LSN stamp (every change was applied at write time -> idx = len)
+    meta = json.loads(json.dumps(lake.meta))
+    n_changes = len(meta["schema_changes"])
+    for f in meta["files"]:
+        del f["change_lsn"]
+        f["change_idx"] = n_changes
+    meta["version"] += 1
+    from cdc_spark.lake import LakeTable
+
+    LakeTable._publish(os.path.join(root, "repos"), meta)
+    got = LakeTable(spark, os.path.join(root, "repos")).read().toPandas()
+    assert_matches(got, replay(log.toPandas(), cfg.base_fields))
+    key = ["repo", "path"]
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(
+        got.sort_values(key).reset_index(drop=True),
+        want.sort_values(key).reset_index(drop=True),
+    )
+
+
+def test_stratified_sample_filter_matches_report(spark):
+    """The map-side sample filter and the per-source report must agree."""
+    from cdc_spark.functions.sampling import (
+        q_sample_stratified,
+        stratified_sample,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    d = spark.read.parquet(f"{sf}/documents.parquet")
+    kept = stratified_sample(d)
+    rep = q_sample_stratified(spark, sf)
+    total_kept = rep.agg(F.sum("n_kept")).first()[0]
+    assert kept.count() == total_kept > 0
+    per_src = {r["source"]: r["n_kept"] for r in rep.collect()}
+    got = {
+        r["source"]: r["n"]
+        for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert {k: v for k, v in per_src.items() if v > 0} == got

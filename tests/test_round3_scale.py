@@ -161,14 +161,62 @@ def test_no_driver_query_plans_a_single_partition_exchange(spark):
 
 def test_embedding_bands_cover_disjoint_projections():
     """Each band must use its own projection set (OR-amplification needs
-    independent hash tables, not four copies of one)."""
-    from cdc_spark.functions.similarity import _proj_sign
+    independent hash tables, not four copies of one) — and the projection
+    family itself must not collapse to a handful of distinct hyperplanes
+    (the round-3 review found the old affine rule yielding only 7)."""
+    from cdc_spark.functions.similarity import EMB_BAND_BITS, _proj_sign
 
+    planes = {
+        tuple(_proj_sign(d, g) for d in range(EMB_DIM))
+        for g in range(EMB_BANDS * EMB_BAND_BITS)
+    }
+    assert len(planes) == EMB_BANDS * EMB_BAND_BITS  # all distinct
     rows = [
-        tuple(_proj_sign(d, band * 12 + j) for d in range(16) for j in range(12))
+        tuple(
+            _proj_sign(d, band * EMB_BAND_BITS + j)
+            for d in range(16)
+            for j in range(EMB_BAND_BITS)
+        )
         for band in range(EMB_BANDS)
     ]
     assert len(set(rows)) == EMB_BANDS
+
+
+def test_embedding_neardup_wide_bands_find_planted_dups(spark, tmpdir_factory_clean):
+    """The scale configuration (16-bit bands, the sizing rule's output for a
+    ~10^5-doc corpus) must still find TRUE near-dups: a synthetic corpus of
+    deterministic vectors where every 10th is a tiny perturbation of its
+    predecessor (cosine ~0.99)."""
+    d = tmpdir_factory_clean("wideband")
+    n = 800
+    base = F.when(
+        (F.col("id") % 10 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    comp = lambda i: (  # noqa: E731
+        (F.pmod(F.xxhash64(base, F.lit(i)), F.lit(2000)) - 1000) / 1000.0
+        # perturbation: only the dup rows get a tiny component shift
+        + F.when(
+            (F.col("id") % 10 == 0) & (F.col("id") > 0), F.lit(0.013 * (i % 3))
+        ).otherwise(F.lit(0.0))
+    )
+    spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[comp(i) for i in range(EMB_DIM)]).cast("array<float>").alias(
+            "embedding"
+        ),
+    ).write.mode("overwrite").parquet(f"{d}/embeddings.parquet")
+    got = {
+        (r["vec_a"], r["vec_b"])
+        for r in q_embedding_neardup_pairs(spark, d, bits=16)
+        .filter(F.col("cosine") >= 0.9)
+        .collect()
+    }
+    want = {(i - 1, i) for i in range(10, n, 10)}
+    recall = len(want & got) / len(want)
+    # LSH recall at 16-bit bands for ~0.99-cosine pairs is 1-(1-p^16)^4
+    # with p = 1 - acos(s)/pi — high but probabilistic, so assert the
+    # floor, not containment (the run is fully deterministic either way)
+    assert recall >= 0.9, (recall, len(want), len(got))
 
 
 def test_realistic_corpus_planted_dups_found(spark, tmpdir_factory_clean):
