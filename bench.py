@@ -113,59 +113,28 @@ def main() -> None:
         counts[name] = fn(spark, sf_dir).count()
         timings[name] = round(time.time() - t0, 3)
 
-    # ---- pair-generator scaling evidence (sf1-equivalent stress)
-    # (a) real-data growth: driver tables at 1/10th the sf — pair counts at
-    #     10x docs show whether banding / the relative DF cap keep candidate
-    #     growth at-or-below linear on the actual corpus distribution.
-    # (b) synthetic 10x corpus (cipher-sliced variants of the sf docs):
-    #     pair SEMANTICS there are fixture-dominated (tiny shared vocab
-    #     leaks shingles across slices), so it is recorded as an engine
-    #     COST probe — runtime and join-volume at ~10x docs.
+    # ---- pair-generator scaling evidence. Real-data growth: driver tables
+    # at 1/10th the sf — pair counts at 10x docs show whether banding / the
+    # relative DF cap keep candidate growth at-or-below linear on the
+    # actual corpus distribution. (The round-2 cipher-slice synthetic probe
+    # is retired: the realistic_corpus section below is the semantics probe
+    # — its vocabulary is Zipf-realistic and its near-dups are planted, so
+    # growth AND recall are meaningful there.)
     pair_stress: dict[str, dict] = {}
     small_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    synth = tempfile.mkdtemp(prefix="cdc_pairs10x_")
-    try:
-        alpha = "abcdefghijklmnopqrstuvwxyz"
-        parts = [
-            docs.select(
-                (docs.doc_id + i * 10_000_000).alias("doc_id"),
-                (
-                    docs.text
-                    if i == 0
-                    else F.translate(docs.text, alpha, alpha[i:] + alpha[:i])
-                ).alias("text"),
-                "lang", "source", "n_chars",
-            )
-            for i in range(10)
-        ]
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        u.repartition(cpus).write.mode("overwrite").parquet(
-            os.path.join(synth, "documents.parquet")
-        )
-        for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs"):
-            fn = reg[name][0]
-            entry = {"sf_pairs": counts[name], "sf_sec": timings[name]}
-            if os.path.isdir(small_dir):
-                t0 = time.time()
-                entry["sf_tenth_pairs"] = fn(spark, small_dir).count()
-                entry["sf_tenth_sec"] = round(time.time() - t0, 3)
-                entry["real_growth_10x_docs"] = round(
-                    counts[name] / max(entry["sf_tenth_pairs"], 1), 2
-                )
+    for name in ("minhash_lsh_pairs", "ngram_jaccard_pairs"):
+        fn = reg[name][0]
+        entry = {"sf_pairs": counts[name], "sf_sec": timings[name]}
+        if os.path.isdir(small_dir):
             t0 = time.time()
-            entry["synth10x_pairs"] = fn(spark, synth).count()
-            entry["synth10x_sec"] = round(time.time() - t0, 3)
-            entry["synth10x_time_ratio"] = round(
-                entry["synth10x_sec"] / max(timings[name], 0.01), 2
+            entry["sf_tenth_pairs"] = fn(spark, small_dir).count()
+            entry["sf_tenth_sec"] = round(time.time() - t0, 3)
+            entry["real_growth_10x_docs"] = round(
+                counts[name] / max(entry["sf_tenth_pairs"], 1), 2
             )
-            pair_stress[name] = entry
-    finally:
-        shutil.rmtree(synth, ignore_errors=True)
+        pair_stress[name] = entry
 
     # ---- ANN quality: recall@5 of trained-IVF search vs the exact
     # brute-force top-5 (the round-3 Lloyd training's payoff, measured)
@@ -268,6 +237,30 @@ def main() -> None:
                     entry["sec_50000"] / max(entry["sec_5000"], 0.01), 2
                 )
                 realistic[name] = entry
+            # corpus-scale minhash banding (k=24, b=3, r=8; s* ~ 0.87):
+            # the candidate-rate knob the default b=4/r=4 config trades
+            # for fixture non-vacuity — measured here at 50k docs
+            from cdc_spark.functions.dedupe import q_minhash_lsh_pairs
+
+            t0 = time.time()
+            pairs = q_minhash_lsh_pairs(spark, rdirs[50_000], k=24, n_bands=3)
+            n50 = 50_000
+            planted = spark.range(37, n50, 37).select(
+                (F.col("id") - 1).alias("doc_a"), F.col("id").alias("doc_b")
+            )
+            npairs = pairs.count()
+            realistic["minhash_lsh_pairs_scale_banding"] = {
+                "pairs_50000": npairs,
+                "sec_50000": round(time.time() - t0, 3),
+                "planted_recall_50000": round(
+                    pairs.join(planted, ["doc_a", "doc_b"]).count()
+                    / max(planted.count(), 1), 3
+                ),
+                "candidate_cut_vs_default": round(
+                    realistic["minhash_lsh_pairs"]["pairs_50000"]
+                    / max(npairs, 1), 1
+                ),
+            }
             simhash_occupancy["realistic_50k"] = _band_occupancy(rdirs[50_000])
         finally:
             shutil.rmtree(rwork, ignore_errors=True)

@@ -85,15 +85,15 @@ hs AS (SELECT doc_id, {duck_poly_hash('sh')} AS h FROM sh)
 """
 
 
-def q_minhash_signature(spark, sf_dir):
-    """MinHash signatures (k={K_MINHASH}): shingle -> polynomial hash -> k
-    affine permutations -> per-doc min. One explode + one groupBy; the
-    explode fan-out is bounded by document length and the groupBy partial-
-    aggregates map-side."""
+def q_minhash_signature(spark, sf_dir, k: int = K_MINHASH):
+    """MinHash signatures (k={K_MINHASH} default): shingle -> polynomial
+    hash -> k affine permutations -> per-doc min. One explode + one groupBy;
+    the explode fan-out is bounded by document length and the groupBy
+    partial-aggregates map-side."""
     h = _spark_shingle_hashes(spark, sf_dir)
     aggs = [
         F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(mh_params(K_MINHASH))
+        for i, (a, b) in enumerate(mh_params(k))
     ]
     return h.groupBy("doc_id").agg(*aggs).orderBy("doc_id")
 
@@ -106,15 +106,24 @@ def sql_minhash_signature() -> str:
     return f"WITH {_DUCK_SHINGLE_HASHES} SELECT doc_id, {mins} FROM hs GROUP BY doc_id ORDER BY doc_id"
 
 
-def q_minhash_lsh_pairs(spark, sf_dir):
-    """MinHash LSH candidate pairs: band the signature ({BANDS} bands x
-    {K_MINHASH // BANDS} rows), bucket-join docs sharing a band value.
+def q_minhash_lsh_pairs(spark, sf_dir, k: int = K_MINHASH,
+                        n_bands: int = BANDS):
+    """MinHash LSH candidate pairs: band the signature (``n_bands`` bands x
+    ``k // n_bands`` rows), bucket-join docs sharing a band value.
     The join key is the band fingerprint — shuffle is by bucket, so cost
-    scales with collisions, not with n^2."""
-    sig = q_minhash_signature(spark, sf_dir)
-    rows_per_band = K_MINHASH // BANDS
+    scales with collisions, not with n^2.
+
+    Banding is the precision knob: the collision threshold is
+    s* ~ (1/b)^(1/r). The default (b=4, r=4, s* ~ 0.71) keeps the fixture
+    oracle non-vacuous; at corpus scale raise rows-per-band so the
+    FALSE-candidate rate (~b*s^r per pair, constant per pair but quadratic
+    in pairs) drops — e.g. (k=24, b=3, r=8) cuts moderate-similarity
+    collisions ~100x while true near-dups (s >= 0.9) stay ~0.99 recall;
+    measured on the realistic corpus in BENCH.md."""
+    sig = q_minhash_signature(spark, sf_dir, k)
+    rows_per_band = k // n_bands
     bands = []
-    for bidx in range(BANDS):
+    for bidx in range(n_bands):
         cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
         key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
         bands.append(

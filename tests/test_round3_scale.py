@@ -255,3 +255,31 @@ def test_decontaminate_flags_verbatim_copy(spark, tmpdir_factory_clean):
     got = {(r["doc_id"], r["eval_doc"]): r["overlap"]
            for r in q_decontaminate(spark, d).collect()}
     assert got[(30, 3)] == 1.0
+
+
+def test_minhash_scale_banding_cuts_candidates_keeps_recall(
+    spark, tmpdir_factory_clean
+):
+    """The corpus-scale banding config (k=24, b=3, r=8; s* ~ 0.87) must cut
+    moderate-similarity false candidates by >= 10x vs the fixture default
+    (b=4, r=4) while keeping the planted near-dups (s ~ 0.97)."""
+    from cdc_spark.functions.dedupe import q_minhash_lsh_pairs
+    from cdc_spark.loggen import realistic_docs
+
+    d = tmpdir_factory_clean("mhscale")
+    n = 2000
+    realistic_docs(spark, n).write.mode("overwrite").parquet(
+        f"{d}/documents.parquet"
+    )
+    planted = {(i - 1, i) for i in range(37, n, 37)}
+    default_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_lsh_pairs(spark, d).collect()
+    }
+    scale_pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in q_minhash_lsh_pairs(spark, d, k=24, n_bands=3).collect()
+    }
+    assert len(planted & default_pairs) == len(planted)
+    assert len(planted & scale_pairs) == len(planted)
+    assert len(scale_pairs) * 10 <= len(default_pairs)
