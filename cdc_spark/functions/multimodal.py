@@ -152,8 +152,142 @@ FROM documents ORDER BY doc_id
 """
 
 
+# --------------------------------------------------------------- resize
+#: fake resize target edge (a real implementation calls PIL.thumbnail);
+#: the fake 'thumbnail' is the first out_w*out_h code points of the
+#: decoded payload — portable integer arithmetic, oracled like the decode
+RESIZE_MAX_EDGE = 32
+
+RESIZE_DDL = (
+    "doc_id BIGINT, media_type STRING, out_w INT, out_h INT, "
+    "thumb_bytes BIGINT, thumb_cp_sum BIGINT"
+)
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched resize over mapInPandas: same plumbing shape as a real
+    PIL/ffmpeg resize (binary in, binary-derived features out, per-element
+    work inside the Arrow batch)."""
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_w = pdf["meta_width"].clip(upper=RESIZE_MAX_EDGE).astype("int32")
+            out_h = pdf["meta_height"].clip(upper=RESIZE_MAX_EDGE).astype("int32")
+            thumbs = [
+                p.decode("utf-8")[: int(w) * int(h)]
+                for p, w, h in zip(pdf["payload"], out_w, out_h)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "media_type": pdf["media_type"],
+                    "out_w": out_w,
+                    "out_h": out_h,
+                    "thumb_bytes": pd.Series(
+                        [len(t.encode("utf-8")) for t in thumbs], dtype="int64"
+                    ),
+                    "thumb_cp_sum": pd.Series(
+                        [sum(ord(c) for c in t) for t in thumbs], dtype="int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(_resize, RESIZE_DDL)
+
+
+def q_multimodal_resize(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return resize_media(media_table(docs)).orderBy("doc_id")
+
+
+SQL_MULTIMODAL_RESIZE = f"""
+WITH m AS (
+  SELECT doc_id,
+         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END
+           AS media_type,
+         CAST(least(doc_id % 640 + 1, {RESIZE_MAX_EDGE}) AS INT) AS out_w,
+         CAST(least(doc_id % 480 + 1, {RESIZE_MAX_EDGE}) AS INT) AS out_h,
+         text
+  FROM documents),
+t AS (SELECT m.*, substring(text, 1, out_w * out_h) AS thumb FROM m)
+SELECT doc_id, media_type, out_w, out_h,
+       CAST(octet_length(encode(thumb)) AS BIGINT) AS thumb_bytes,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(thumb) + 1),
+                                             i -> ord(substring(thumb, i, 1)))),
+                     0) AS BIGINT) AS thumb_cp_sum
+FROM t ORDER BY doc_id
+"""
+
+
+# ----------------------------------------------------------- frame sample
+#: sample every k-th frame of 'video' media (a real implementation seeks
+#: keyframes via ffmpeg); the fake frame payload is a 64-code-point slice
+#: at the frame index
+FRAME_SAMPLE_EVERY = 5
+FRAME_SLICE_CP = 64
+
+FRAMES_DDL = "doc_id BIGINT, frame_idx INT, frame_cp_sum BIGINT"
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """Every FRAME_SAMPLE_EVERY-th frame of each video row, exploded INSIDE
+    the Arrow batch (one input row -> n output rows without leaving the
+    pandas UDF — the fan-out shape real frame extraction has)."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, sums = [], [], []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                text = payload.decode("utf-8")
+                n_frames = (len(text) % 30) + 1  # the fake decode's frame count
+                for i in range(1, n_frames + 1, FRAME_SAMPLE_EVERY):
+                    sl = text[i - 1: i - 1 + FRAME_SLICE_CP]
+                    ids.append(did)
+                    idxs.append(i)
+                    sums.append(sum(ord(c) for c in sl))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_cp_sum": pd.Series(sums, dtype="int64"),
+                }
+            )
+
+    return media.filter(F.col("media_type") == "video").mapInPandas(
+        _frames, FRAMES_DDL
+    )
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_frames(media_table(docs)).orderBy("doc_id", "frame_idx")
+
+
+SQL_MULTIMODAL_FRAME_SAMPLE = f"""
+WITH v AS (
+  SELECT doc_id, text, length(text) % 30 + 1 AS n_frames
+  FROM documents WHERE doc_id % 3 = 2),
+fr AS (
+  SELECT doc_id, CAST(unnest(range(1, n_frames + 1, {FRAME_SAMPLE_EVERY})) AS INT)
+           AS frame_idx, text
+  FROM v),
+sl AS (SELECT doc_id, frame_idx,
+              substring(text, frame_idx, {FRAME_SLICE_CP}) AS s FROM fr)
+SELECT doc_id, frame_idx,
+       CAST(COALESCE(list_sum(list_transform(range(1, length(s) + 1),
+                                             i -> ord(substring(s, i, 1)))),
+                     0) AS BIGINT) AS frame_cp_sum
+FROM sl ORDER BY doc_id, frame_idx
+"""
+
+
 def registry() -> dict:
     return {
         "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
         "multimodal_bytes": (q_multimodal_bytes, SQL_MULTIMODAL_BYTES),
+        "multimodal_resize": (q_multimodal_resize, SQL_MULTIMODAL_RESIZE),
+        "multimodal_frame_sample": (
+            q_multimodal_frame_sample,
+            SQL_MULTIMODAL_FRAME_SAMPLE,
+        ),
     }
