@@ -120,6 +120,12 @@ def q_minhash_lsh_pairs(spark, sf_dir, k: int = K_MINHASH,
     in pairs) drops — e.g. (k=24, b=3, r=8) cuts moderate-similarity
     collisions ~100x while true near-dups (s >= 0.9) stay ~0.99 recall;
     measured on the realistic corpus in BENCH.md."""
+    if k % n_bands:
+        raise ValueError(
+            f"k={k} must divide into n_bands={n_bands} (r = k/b drives the "
+            f"s* threshold; a silent remainder would band fewer rows than "
+            f"requested)"
+        )
     sig = q_minhash_signature(spark, sf_dir, k)
     rows_per_band = k // n_bands
     bands = []
@@ -207,8 +213,9 @@ def q_simhash(spark, sf_dir):
     """SimHash (63-bit): token-hash bit votes summed per doc, sign -> bit.
 
     One explode + ONE narrow groupBy: per token the 63 bits are packed as
-    bit-counts into 21 carry-safe BIGINT accumulators (3 x 20-bit fields
-    each), so the aggregate is 21 sums + a count — wide enough for 63
+    bit-counts into 21 carry-safe BIGINT accumulators (3 x 21-bit fields
+    each, counts bounded by SIMHASH_MAX_CHARS), so the aggregate is 21
+    sums + a count — wide enough for 63
     independent votes, narrow enough to stay inside whole-stage codegen
     (63 separate sum() aggregates measured ~6x slower). Per-bit vote sign
     is recovered per doc as ``2*count_b > n_tokens``."""

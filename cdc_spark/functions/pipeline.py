@@ -64,7 +64,11 @@ def q_training_pipeline(spark, sf_dir):
         .join(ids_b, "doc_b", "left_semi")
     )
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
-    final = kept.join(drop, "doc_id", "left_anti")
+    # the decon branch below references `final` twice in one action (the
+    # anti-join's both sides descend from it); localCheckpoint makes the
+    # single evaluation of the expensive upstream (quality + LSH pair join)
+    # explicit instead of relying on the optimizer's exchange reuse
+    final = kept.join(drop, "doc_id", "left_anti").localCheckpoint(eager=False)
 
     # decontamination: drop survivors contaminated against the eval holdout.
     # Only the SURVIVORS are shingled (decontaminate_pairs takes the corpus

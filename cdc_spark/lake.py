@@ -474,6 +474,21 @@ class LakeTable:
         with open(os.path.join(self.root, "metadata", f"v{version}.json")) as fh:
             return json.load(fh)
 
+    def _live_view(self, files: list[dict]) -> DataFrame:
+        """The table's ONE visibility rule — project ``files`` to the
+        current schema and drop tombstones + truncated rows. Shared by
+        ``read`` and ``lookup`` so the predicate can never drift."""
+        fields = self.schema_fields()
+        df = self._read_files(files, fields, changes=self._parsed_changes())
+        if df is None:
+            ddl = ", ".join(
+                f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
+            )
+            df = self.spark.createDataFrame([], ddl)
+        return df.filter(
+            (~F.col("_deleted")) & (F.col("_lsn") > F.lit(self.truncate_lsn))
+        )
+
     def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
         """Live view: tombstones and truncated rows filtered out. Pass
         ``version`` for time travel to any retained snapshot (each manifest
@@ -486,21 +501,10 @@ class LakeTable:
                 return self.read(include_meta=include_meta)
             finally:
                 self._meta = saved
-        fields = self.schema_fields()
-        df = self._read_files(
-            self._meta["files"], fields, changes=self._parsed_changes()
-        )
-        if df is None:
-            ddl = ", ".join(
-                f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
-            )
-            df = self.spark.createDataFrame([], ddl)
-        live = df.filter(
-            (~F.col("_deleted")) & (F.col("_lsn") > F.lit(self.truncate_lsn))
-        )
+        live = self._live_view(self._meta["files"])
         if include_meta:
             return live
-        return live.select(*[f"`{n}`" for n, _ in fields])
+        return live.select(*[f"`{n}`" for n, _ in self.schema_fields()])
 
     # -------------------------------------------------------------- lookups
     def _files_for_key(self, key_value: tuple) -> list[dict]:
@@ -539,22 +543,14 @@ class LakeTable:
         """Point lookup for one key: scans ONLY the files whose bucket and
         key range can contain it (typically one file regardless of table
         size — the O(1)-ish read the per-file footer stats buy)."""
-        files = self._files_for_key(key_value)
-        fields = self.schema_fields()
-        df = self._read_files(files, fields, changes=self._parsed_changes())
-        if df is None:
-            ddl = ", ".join(
-                f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
-            )
-            df = self.spark.createDataFrame([], ddl)
+        live = self._live_view(self._files_for_key(key_value))
         cond = None
         for k, v in zip(self.key, key_value):
             c = F.col(k) == F.lit(v)
             cond = c if cond is None else (cond & c)
-        live = df.filter(
-            (~F.col("_deleted")) & (F.col("_lsn") > F.lit(self.truncate_lsn))
+        return live.filter(cond).select(
+            *[f"`{n}`" for n, _ in self.schema_fields()]
         )
-        return live.filter(cond).select(*[f"`{n}`" for n, _ in fields])
 
     # -------------------------------------------------------------- merging
     def merge(

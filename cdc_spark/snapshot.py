@@ -244,13 +244,17 @@ def export_csv(
         # one file per table is the reference's layout (file_snapshot.py
         # one get_table_file per TableConfig) — coalesce(1) is forced by
         # that contract, not a scale choice; key-sorted for determinism
-        # deterministic row order: lake key columns when the TableConfig
-        # projection keeps them (byte-stable against the golden files),
-        # else ALL projected columns — a single non-unique column would
-        # leave tie order to upstream partitioning and flake diff-based
-        # snapshot comparisons (and a zero-arg sort raises outright)
-        sort_cols = [f"`{k}`" for k in lake.key if k in df.columns] or [
-            f"`{c}`" for c in df.columns
+        # deterministic row order: surviving key columns first (byte-stable
+        # against the golden files — the live view has one row per key, so
+        # a full key prefix is already total), then every other projected
+        # column as tie-breaker — a projection keeping only SOME (or no)
+        # key columns would otherwise leave tie order to upstream
+        # partitioning and flake diff-based snapshot comparisons (and a
+        # zero-arg sort raises outright)
+        keys_present = [k for k in lake.key if k in df.columns]
+        sort_cols = [
+            f"`{c}`" for c in keys_present
+            + [c for c in df.columns if c not in keys_present]
         ]
         writer = (
             df.coalesce(1)
