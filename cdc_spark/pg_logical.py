@@ -129,10 +129,19 @@ class FakeReplicationServer:
 
     # -- producer side (tests append WAL like Postgres would)
     def append(self, lsn: int, payload: str) -> None:
+        """Append one message. An identical redelivery of an existing LSN
+        is a no-op (at-least-once transport); a DIFFERENT payload at an
+        existing or earlier LSN is rejected — WAL positions are final."""
+        path = os.path.join(self._wal_dir, f"{lsn:018d}")
+        if os.path.exists(path):
+            with open(path) as fh:
+                if fh.read() == payload:
+                    return
+            raise ValueError(f"conflicting payload for existing lsn {lsn}")
         w = self.wal
         if w and lsn <= w[-1][0]:
             raise ValueError("WAL lsns must be appended in order")
-        with open(os.path.join(self._wal_dir, f"{lsn:018d}"), "w") as fh:
+        with open(path, "w") as fh:
             fh.write(payload)
 
     # -- replication protocol surface (what a psycopg2 cursor offers)

@@ -190,3 +190,47 @@ lake:
     q.awaitTermination()
     lake = applier.lake_for("repos")
     assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
+
+
+def test_pg_logical_torture_crash_schema_truncate(spark, tmpdir_factory_clean):
+    """Torture over the replication source: duplicates, a mid-stream schema
+    change, a truncate, AND an injected crash mid-run — the restart must
+    replay the planned-but-uncommitted batch via readBetweenOffsets (the
+    WAL is retained because the slot only flushes from the commit log) and
+    the final lake must equal the LSN-ordered oracle."""
+    from cdc_spark.stream import start_stream
+
+    srv = FakeReplicationServer.reset("torture")
+    log = change_log(
+        spark, 1200, n_repos=12, n_paths=4, delete_rate=0.1, dup_rate=0.05,
+        truncate_lsns=(500,),
+        schema_changes={300: {"action": "add", "column": "stars",
+                              "type": "long"}},
+        seed=67,
+    )
+    for row in to_frames(log).orderBy("lsn").collect():
+        srv.append(row["lsn"], row["value"])
+    root = tmpdir_factory_clean("pgtort")
+    cfg = EngineConfig(lake_root=root, checkpoint=os.path.join(root, "ck"),
+                       n_buckets=4)
+    conf = {"wire": "fake://torture", "slot_name": "cdc",
+            "max_events_per_batch": 300}
+    q, _ = start_stream(
+        spark, None, cfg, source="postgres-logical", source_conf=conf,
+        fail_after_batches=1,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination()
+    # nothing flushed for the crashed batch: its WAL is still on the server
+    assert srv.restart_lsn("cdc") < 1200
+    # resume until drained (availableNow + prefetched simple reader drains
+    # one read per run)
+    for _ in range(8):
+        q2, applier = start_stream(
+            spark, None, cfg, source="postgres-logical", source_conf=conf
+        )
+        q2.awaitTermination()
+    lake = applier.lake_for("repos").refresh()
+    assert dict(lake.schema_fields()).get("stars") == "long"
+    assert lake.truncate_lsn == 500
+    assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
