@@ -921,7 +921,6 @@ class LakeTable:
         # sweep now-empty data dirs (same in-flight guard: only decided
         # versions — an active writer's staging/_temporary dirs hold no
         # .parquet direct children yet and must not be rmtree'd)
-        data_root = os.path.join(self.root, "data")
         if os.path.isdir(data_root):
             for d in sorted(os.listdir(data_root)):
                 full = os.path.join(data_root, d)

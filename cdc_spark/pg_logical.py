@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from typing import Iterator, Optional, Tuple
 
@@ -75,6 +76,7 @@ class FakeReplicationServer:
         os.makedirs(self._wal_dir, exist_ok=True)
         self._slots_path = os.path.join(self.root, "slots.json")
         self._fb_path = os.path.join(self.root, "feedbacks.jsonl")
+        self._floor_path = os.path.join(self.root, "floor")
 
     @classmethod
     def get(cls, name: str) -> "FakeReplicationServer":
@@ -128,21 +130,39 @@ class FakeReplicationServer:
         return sum(1 for w, f in self.feedbacks if w is None and f is None)
 
     # -- producer side (tests append WAL like Postgres would)
+    def _appended_floor(self) -> int:
+        """Highest LSN ever appended — persisted separately from the WAL
+        files so reclamation (``send_feedback`` advancing ``restart_lsn``)
+        cannot re-open already-used positions."""
+        if not os.path.exists(self._floor_path):
+            return -1
+        with open(self._floor_path) as fh:
+            return int(fh.read().strip() or -1)
+
     def append(self, lsn: int, payload: str) -> None:
-        """Append one message. An identical redelivery of an existing LSN
-        is a no-op (at-least-once transport); a DIFFERENT payload at an
-        existing or earlier LSN is rejected — WAL positions are final."""
+        """Append one message. An identical redelivery of a RETAINED LSN
+        is a no-op (at-least-once transport); a different payload at an
+        existing LSN, or any append at or below the appended watermark
+        once its segment is reclaimed, is rejected — WAL positions are
+        final even after the slot's ``restart_lsn`` has passed them."""
         path = os.path.join(self._wal_dir, f"{lsn:018d}")
         if os.path.exists(path):
             with open(path) as fh:
                 if fh.read() == payload:
                     return
             raise ValueError(f"conflicting payload for existing lsn {lsn}")
-        w = self.wal
-        if w and lsn <= w[-1][0]:
-            raise ValueError("WAL lsns must be appended in order")
+        floor = self._appended_floor()
+        if lsn <= floor:
+            raise ValueError(
+                f"WAL lsns must be appended in order (lsn {lsn} <= "
+                f"appended watermark {floor})"
+            )
         with open(path, "w") as fh:
             fh.write(payload)
+        tmp = self._floor_path + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(lsn))
+        os.replace(tmp, self._floor_path)
 
     # -- replication protocol surface (what a psycopg2 cursor offers)
     def create_replication_slot(self, slot_name: str, plugin: str = "wal2json") -> None:
@@ -214,10 +234,143 @@ class _FakeCursor:
         )
 
 
-def connect_wire(url: str):
-    """Resolve the injectable wire. ``fake://<name>`` -> the named in-memory
-    server; anything else is treated as a Postgres DSN and requires
-    psycopg2 (the production drop-in), gated behind an import-try."""
+class Psycopg2Wire:
+    """Production wire: the :class:`FakeReplicationServer` duck-typed
+    surface over a psycopg2 ``LogicalReplicationConnection`` — the same
+    cursor calls the reference makes (``/root/reference/cdc/sources/
+    backends/postgres_logical.py:137-213``): ``create_replication_slot``
+    with ``REPLICATION_LOGICAL`` + the wal2json plugin (duplicate-slot
+    ``ProgrammingError`` mapped to :class:`SlotError` so the reader's
+    create-if-absent catch works identically on both wires),
+    ``start_replication`` with plugin options, ``read_message`` yielding
+    ``(data_start, payload)``, and ``send_feedback(write_lsn/flush_lsn)``.
+
+    One replication connection carries one stream, so repeated
+    ``start_replication`` calls (the reader issues one per microbatch with
+    an explicit ``start_lsn``) recycle the connection: close, reconnect,
+    re-position. Postgres replays retained WAL after the slot's
+    ``restart_lsn``, which is exactly the semantics the fake models.
+    """
+
+    def __init__(self, dsn: str, plugin: str = "wal2json",
+                 slot_options: Optional[dict] = None):
+        import psycopg2
+        from psycopg2.extras import LogicalReplicationConnection
+
+        self._psycopg2 = psycopg2
+        self._conn_factory = LogicalReplicationConnection
+        self._dsn = dsn
+        self._plugin = plugin
+        self._slot_options = dict(slot_options or {})
+        self._cursor = None
+
+    def _replication_cursor(self):
+        cur = self._psycopg2.connect(
+            self._dsn, connection_factory=self._conn_factory
+        ).cursor()
+        return cur
+
+    def create_replication_slot(self, slot_name: str,
+                                plugin: str | None = None) -> None:
+        from psycopg2.extras import REPLICATION_LOGICAL
+
+        cur = self._replication_cursor()
+        try:
+            cur.create_replication_slot(
+                slot_name, REPLICATION_LOGICAL, plugin or self._plugin
+            )
+        except self._psycopg2.ProgrammingError as e:
+            # reference postgres_logical.py:155-163: the only tolerated
+            # ProgrammingError is already-exists; surface it as SlotError
+            # so the reader's create-if-absent catch applies
+            if (str(e).strip()
+                    == f'replication slot "{slot_name}" already exists'):
+                raise SlotError(str(e).strip()) from e
+            raise
+        finally:
+            cur.connection.close()
+
+    def start_replication(self, slot_name: str,
+                          start_lsn: int | None = None):
+        from psycopg2.extras import REPLICATION_LOGICAL
+
+        if self._cursor is not None:
+            self._cursor.connection.close()
+        self._cursor = self._replication_cursor()
+        kwargs = {"options": self._slot_options} if self._slot_options else {}
+        if start_lsn is not None and start_lsn >= 0:
+            kwargs["start_lsn"] = start_lsn
+        self._cursor.start_replication(
+            slot_name, REPLICATION_LOGICAL, **kwargs
+        )
+        return _Psycopg2Cursor(self._cursor)
+
+    def send_feedback(self, slot_name: str, write_lsn: int | None = None,
+                      flush_lsn: int | None = None) -> None:
+        kwargs = {}
+        if write_lsn is not None:
+            kwargs["write_lsn"] = write_lsn
+        if flush_lsn is not None:
+            kwargs["flush_lsn"] = flush_lsn
+        if self._cursor is None:
+            raise SlotError("send_feedback before start_replication")
+        self._cursor.send_feedback(**kwargs)
+
+    def restart_lsn(self, slot_name: str) -> int:
+        """The slot's durable resume point, read off the catalog with a
+        plain (non-replication) connection. ``X/Y`` pg_lsn text ->
+        ``(X << 32) | Y`` (the integer form ``send_feedback`` takes)."""
+        conn = self._psycopg2.connect(self._dsn)
+        try:
+            with conn.cursor() as cur:
+                cur.execute(
+                    "SELECT restart_lsn::text FROM pg_replication_slots "
+                    "WHERE slot_name = %s", (slot_name,)
+                )
+                row = cur.fetchone()
+        finally:
+            conn.close()
+        if row is None:
+            raise SlotError(
+                f'replication slot "{slot_name}" does not exist'
+            )
+        if row[0] is None:
+            return -1
+        hi, lo = row[0].split("/")
+        return (int(hi, 16) << 32) | int(lo, 16)
+
+
+class _Psycopg2Cursor:
+    """One ``start_replication`` stream: non-blocking drain + feedback."""
+
+    def __init__(self, cursor):
+        self._cursor = cursor
+
+    def read_message(self) -> Optional[tuple[int, str]]:
+        msg = self._cursor.read_message()
+        if msg is None:
+            return None
+        payload = msg.payload
+        if isinstance(payload, (bytes, bytearray, memoryview)):
+            payload = bytes(payload).decode("utf-8")
+        return (msg.data_start, payload)
+
+    def send_feedback(self, write_lsn=None, flush_lsn=None) -> None:
+        kwargs = {}
+        if write_lsn is not None:
+            kwargs["write_lsn"] = write_lsn
+        if flush_lsn is not None:
+            kwargs["flush_lsn"] = flush_lsn
+        self._cursor.send_feedback(**kwargs)
+
+
+def connect_wire(url: str, plugin: str = "wal2json",
+                 slot_options: Optional[dict] = None):
+    """Resolve the injectable wire. ``fake://<name>`` -> the named
+    file-backed server; anything else is treated as a Postgres DSN and
+    served by :class:`Psycopg2Wire` (requires psycopg2 — not in this
+    container, so the DSN path is exercised by the mocked-psycopg2
+    contract tests in ``tests/test_pg_logical.py``)."""
     if url.startswith("fake://"):
         return FakeReplicationServer.get(url[len("fake://"):])
     try:
@@ -229,11 +382,7 @@ def connect_wire(url: str):
             "container); use wire='fake://<name>' or front the slot with "
             "the forwarder into Kafka"
         ) from e
-    raise NotImplementedError(
-        "psycopg2 wire adapter: wrap the LogicalReplicationConnection "
-        "cursor in the FakeReplicationServer surface (create_replication_"
-        "slot/start_replication/read_message/send_feedback)"
-    )
+    return Psycopg2Wire(url, plugin=plugin, slot_options=slot_options)
 
 
 # ------------------------------------------------------------- data source
@@ -259,21 +408,62 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
             except SlotError:
                 pass  # create-if-absent (reference postgres_logical.py:155-163)
         self._cursor = self._wire.start_replication(self._slot)
+        self._start_keepalive_thread()
+
+    def _start_keepalive_thread(self) -> None:
+        # Keepalives on a cadence INDEPENDENT of the trigger interval — the
+        # reference schedules send_keepalive as a timed task
+        # (postgres_logical.py:199-213); sending only inside read() would
+        # drop a real walsender connection whenever the trigger interval
+        # (or an idle stream) outlasts wal_sender_timeout.
+        self._fb_lock = threading.Lock()
         self._last_keepalive = time.monotonic()
+        self._ka_stop = threading.Event()
+        self._ka_thread = threading.Thread(
+            target=self._keepalive_loop, daemon=True, name="pg-keepalive"
+        )
+        self._ka_thread.start()
+
+    def __getstate__(self) -> dict:
+        """Spark cloudpickles the simple reader into its worker process;
+        thread primitives don't pickle, so drop them and respawn the
+        keepalive thread on the other side."""
+        d = self.__dict__.copy()
+        for k in ("_fb_lock", "_last_keepalive", "_ka_stop", "_ka_thread"):
+            d.pop(k, None)
+        return d
+
+    def __setstate__(self, state: dict) -> None:
+        self.__dict__.update(state)
+        self._start_keepalive_thread()
+
+    def _feedback(self, **kwargs) -> None:
+        """All slot feedback (data positions AND empty keepalives) goes
+        through one lock — the replication cursor is not thread-safe — and
+        resets the keepalive clock, mirroring the reference's
+        ``commit_positions``/``send_keepalive`` both stamping
+        ``__last_keepalive_datetime``."""
+        with self._fb_lock:
+            self._cursor.send_feedback(**kwargs)
+            self._last_keepalive = time.monotonic()
+
+    def _keepalive_loop(self) -> None:
+        while not self._ka_stop.wait(max(min(self._keepalive_s, 1.0) / 2, 0.01)):
+            if time.monotonic() - self._last_keepalive >= self._keepalive_s:
+                try:
+                    self._feedback()  # empty = standby keepalive
+                except Exception:
+                    return  # wire torn down; reader is being stopped
+
+    def stop(self) -> None:
+        self._ka_stop.set()
 
     def initialOffset(self) -> dict:
         """First-ever start: begin at the slot's restart LSN (a slot created
         just now starts at -1 = everything retained)."""
         return {"lsn": self._wire.restart_lsn(self._slot)}
 
-    def _maybe_keepalive(self) -> None:
-        now = time.monotonic()
-        if now - self._last_keepalive >= self._keepalive_s:
-            self._cursor.send_feedback()  # empty = standby keepalive
-            self._last_keepalive = now
-
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
-        self._maybe_keepalive()
         rows: list[tuple[int, str]] = []
         hwm = start["lsn"]
         cur = self._wire.start_replication(self._slot, start_lsn=hwm)
@@ -286,7 +476,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         if rows:
             # write position advances with the read; the FLUSH position
             # only advances in commit() (reference sources/__init__.py:82-106)
-            self._cursor.send_feedback(write_lsn=hwm)
+            self._feedback(write_lsn=hwm)
         return iter(rows), {"lsn": hwm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
@@ -314,7 +504,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         by one batch, and a crash in the window replays rows the lake's
         idempotent batch-id commits deduplicate — never loses them."""
         if end["lsn"] >= 0:
-            self._cursor.send_feedback(write_lsn=end["lsn"], flush_lsn=end["lsn"])
+            self._feedback(write_lsn=end["lsn"], flush_lsn=end["lsn"])
 
 
 class PgLogicalDataSource(DataSource):
@@ -333,12 +523,9 @@ class PgLogicalDataSource(DataSource):
         return PgLogicalStreamReader(self.options)
 
 
-_REGISTERED = set()
-
-
 def register(spark) -> None:
-    """Idempotently register the data source with a session."""
-    key = id(spark)
-    if key not in _REGISTERED:
-        spark.dataSource.register(PgLogicalDataSource)
-        _REGISTERED.add(key)
+    """Register the data source with a session. Registration is a map-put
+    on the session's data-source registry (re-registering the same name
+    overwrites), so this is safe to call unconditionally — caching by
+    ``id(spark)`` would misfire when a stopped session's id is reused."""
+    spark.dataSource.register(PgLogicalDataSource)

@@ -133,10 +133,13 @@ def postgres_logical_source(
     resume from the restart LSN, keepalive cadence, and send_feedback that
     advances the slot ONLY from Spark's batch-commit log — the full state
     machine of ``/root/reference/cdc/sources/backends/postgres_logical.py:
-    137-213``, tested against an in-memory replication wire. conf:
+    137-213``, tested against a file-backed replication wire. conf:
     {"slot_name": str, "wire": "fake://name" | dsn, "create_slot": bool,
-    "max_events_per_batch": int, "keepalive_interval_s": float}. Yields
-    FRAMED rows -> parsed envelope."""
+    "max_events_per_batch": int, "keepalive_interval_s": float}. A real
+    Postgres DSN is served by ``pg_logical.Psycopg2Wire`` and needs
+    psycopg2 importable (absent in this container — the adapter is
+    contract-tested against a mocked psycopg2 surface; without psycopg2
+    only ``fake://`` wires run). Yields FRAMED rows -> parsed envelope."""
     from . import pg_logical
 
     pg_logical.register(spark)

@@ -95,12 +95,41 @@ def test_restart_lsn_advances_exactly_with_commit_log():
 
 
 def test_keepalive_cadence():
+    """Keepalives run on a BACKGROUND cadence independent of the trigger
+    (the reference schedules ``send_keepalive`` as a timed task,
+    postgres_logical.py:199-213): an idle stream with zero read() calls
+    still feeds the walsender, so a trigger interval longer than
+    wal_sender_timeout can't drop the connection."""
+    import time
+
     srv = FakeReplicationServer.reset("t5")
-    r = _reader("fake://t5", keepalive_interval_s=0)
-    off = r.initialOffset()
-    for _ in range(3):
-        _, off = r.read(off)  # idle reads: every one sends a keepalive
-    assert srv.keepalives == 3
+    r = _reader("fake://t5", keepalive_interval_s=0.05)
+    try:
+        deadline = time.monotonic() + 5.0
+        while srv.keepalives < 3 and time.monotonic() < deadline:
+            time.sleep(0.02)
+    finally:
+        r.stop()
+    assert srv.keepalives >= 3  # no read() ever issued
+
+
+def test_wal_positions_final_after_reclamation():
+    """Once ``send_feedback`` reclaims segments, appends at or below the
+    appended watermark are rejected even though the WAL dir is empty —
+    positions are final; a 'new' message there would be silently
+    undeliverable to the resumed slot."""
+    srv = FakeReplicationServer.reset("t5b")
+    for lsn in (1, 2, 3):
+        srv.append(lsn, f"p{lsn}")
+    srv.append(3, "p3")  # identical redelivery of retained WAL: no-op
+    srv.create_replication_slot("s")
+    srv.send_feedback("s", flush_lsn=3)  # reclaims everything
+    assert srv.wal == []
+    with pytest.raises(ValueError, match="appended watermark"):
+        srv.append(3, "p3")  # reclaimed: position is final
+    with pytest.raises(ValueError, match="appended watermark"):
+        srv.append(2, "px")
+    srv.append(4, "p4")  # strictly above the watermark: fine
 
 
 def test_pg_logical_stream_end_to_end(spark, tmpdir_factory_clean):
@@ -234,3 +263,222 @@ def test_pg_logical_torture_crash_schema_truncate(spark, tmpdir_factory_clean):
     assert dict(lake.schema_fields()).get("stars") == "long"
     assert lake.truncate_lsn == 500
     assert_matches(lake.read().toPandas(), replay(log.toPandas(), cfg.base_fields))
+
+
+# ---------------------------------------------------- psycopg2 wire contract
+class _MockPg:
+    """A mocked psycopg2 surface (module + extras + server state) asserting
+    the exact cursor call sequence the reference makes
+    (``/root/reference/cdc/sources/backends/postgres_logical.py:137-213``).
+    psycopg2 is absent in this container, so the Psycopg2Wire adapter is
+    contract-tested against this stand-in injected into sys.modules."""
+
+    class ProgrammingError(Exception):
+        pass
+
+    class LogicalReplicationConnection:
+        pass
+
+    REPLICATION_LOGICAL = 7  # sentinel — must be passed through verbatim
+
+    def __init__(self):
+        self.slots = {}       # name -> restart lsn text ("X/Y") or None
+        self.wal = []         # [(data_start, payload bytes)]
+        self.calls = []       # flat call log across all connections
+        self.open_conns = []
+
+    # -- module surface
+    def connect(self, dsn, connection_factory=None):
+        conn = _MockConn(self, dsn, connection_factory)
+        self.open_conns.append(conn)
+        return conn
+
+    def install(self, monkeypatch):
+        import sys
+        import types
+
+        mod = types.ModuleType("psycopg2")
+        mod.connect = self.connect
+        mod.ProgrammingError = _MockPg.ProgrammingError
+        extras = types.ModuleType("psycopg2.extras")
+        extras.LogicalReplicationConnection = _MockPg.LogicalReplicationConnection
+        extras.REPLICATION_LOGICAL = _MockPg.REPLICATION_LOGICAL
+        mod.extras = extras
+        monkeypatch.setitem(sys.modules, "psycopg2", mod)
+        monkeypatch.setitem(sys.modules, "psycopg2.extras", extras)
+
+
+class _MockConn:
+    def __init__(self, server, dsn, factory):
+        self.server = server
+        self.dsn = dsn
+        self.factory = factory
+        self.closed = False
+
+    def cursor(self):
+        if self.factory is _MockPg.LogicalReplicationConnection:
+            return _MockReplCursor(self)
+        return _MockPlainCursor(self)
+
+    def close(self):
+        self.closed = True
+
+
+class _MockMsg:
+    def __init__(self, data_start, payload):
+        self.data_start = data_start
+        self.payload = payload
+
+
+class _MockReplCursor:
+    """What a psycopg2 LogicalReplicationConnection cursor offers."""
+
+    def __init__(self, conn):
+        self.connection = conn
+        self._server = conn.server
+        self._stream = None
+
+    def create_replication_slot(self, name, repl_type, plugin):
+        self._server.calls.append(("create_slot", name, repl_type, plugin))
+        if name in self._server.slots:
+            raise _MockPg.ProgrammingError(
+                f'replication slot "{name}" already exists\n'
+            )
+        self._server.slots[name] = "0/0"
+
+    def start_replication(self, name, repl_type, options=None, start_lsn=None):
+        self._server.calls.append(
+            ("start_replication", name, repl_type, options, start_lsn)
+        )
+        if name not in self._server.slots:
+            raise _MockPg.ProgrammingError(
+                f'replication slot "{name}" does not exist'
+            )
+        lo = start_lsn if start_lsn is not None else -1
+        self._stream = [m for m in self._server.wal if m[0] > lo]
+
+    def read_message(self):
+        if not self._stream:
+            return None
+        lsn, payload = self._stream.pop(0)
+        return _MockMsg(lsn, payload)
+
+    def send_feedback(self, **kw):
+        self._server.calls.append(("send_feedback", kw))
+        flush = kw.get("flush_lsn")
+        if flush is not None:
+            # walsender advances the slot's catalog restart_lsn
+            for name in self._server.slots:
+                self._server.slots[name] = f"{flush >> 32:X}/{flush & 0xFFFFFFFF:X}"
+
+
+class _MockPlainCursor:
+    def __init__(self, conn):
+        self._server = conn.server
+        self._row = None
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *a):
+        return False
+
+    def execute(self, sql, params):
+        self._server.calls.append(("sql", sql, params))
+        assert "pg_replication_slots" in sql
+        name = params[0]
+        self._row = (
+            (self._server.slots[name],) if name in self._server.slots else None
+        )
+
+    def fetchone(self):
+        return self._row
+
+
+def test_psycopg2_wire_slot_contract(monkeypatch):
+    """create-if-absent: fresh create passes REPLICATION_LOGICAL + plugin;
+    a duplicate surfaces as SlotError (the reader's catch), any other
+    ProgrammingError propagates; the one-shot connections are closed."""
+    from cdc_spark.pg_logical import Psycopg2Wire
+
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    wire = Psycopg2Wire("postgres://db/x", plugin="wal2json")
+    wire.create_replication_slot("cdc")
+    assert pg.calls[-1] == ("create_slot", "cdc", _MockPg.REPLICATION_LOGICAL,
+                            "wal2json")
+    with pytest.raises(SlotError):
+        wire.create_replication_slot("cdc")  # duplicate -> SlotError
+    assert all(c.closed for c in pg.open_conns)  # one-shot conns closed
+
+
+def test_psycopg2_wire_stream_and_feedback(monkeypatch):
+    """start_replication passes plugin options + start_lsn and recycles the
+    prior connection; read_message maps to (data_start, utf-8 payload);
+    send_feedback forwards only the kwargs given."""
+    from cdc_spark.pg_logical import Psycopg2Wire
+
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    pg.slots["cdc"] = "0/0"
+    pg.wal = [(5, b"G|{}"), (9, b"M|repos|{\"k\":1}")]
+    wire = Psycopg2Wire("postgres://db/x",
+                        slot_options={"include-xids": "1"})
+    cur = wire.start_replication("cdc", start_lsn=5)
+    assert pg.calls[-1] == ("start_replication", "cdc",
+                            _MockPg.REPLICATION_LOGICAL,
+                            {"include-xids": "1"}, 5)
+    assert cur.read_message() == (9, 'M|repos|{"k":1}')  # bytes -> str
+    assert cur.read_message() is None
+    first_conn = pg.open_conns[-1]
+    wire.send_feedback("cdc", write_lsn=9)
+    assert pg.calls[-1] == ("send_feedback", {"write_lsn": 9})
+    wire.send_feedback("cdc", write_lsn=9, flush_lsn=9)
+    assert pg.calls[-1] == ("send_feedback", {"write_lsn": 9, "flush_lsn": 9})
+    wire.start_replication("cdc", start_lsn=9)  # re-position
+    assert first_conn.closed  # one replication stream per connection
+
+
+def test_psycopg2_wire_restart_lsn_parse(monkeypatch):
+    """restart_lsn reads the catalog over a PLAIN connection and parses
+    pg_lsn 'X/Y' text into the integer send_feedback takes."""
+    from cdc_spark.pg_logical import Psycopg2Wire
+
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    pg.slots["cdc"] = "1/16B2D08"
+    wire = Psycopg2Wire("postgres://db/x")
+    assert wire.restart_lsn("cdc") == (1 << 32) | 0x16B2D08
+    # the catalog read must NOT use the replication connection factory
+    assert pg.open_conns[-1].factory is None
+    pg.slots["cdc"] = None  # slot exists, never advanced
+    assert wire.restart_lsn("cdc") == -1
+    with pytest.raises(SlotError):
+        wire.restart_lsn("ghost")
+
+
+def test_reader_over_psycopg2_wire_end_to_end(monkeypatch):
+    """The full slot state machine runs unchanged over the psycopg2 wire:
+    create-if-absent, resume from catalog restart_lsn, drain, commit ->
+    flush feedback. Proves the adapter is a drop-in for the fake."""
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    pg.wal = [(1, b"p1"), (2, b"p2"), (3, b"p3")]
+    r = PgLogicalStreamReader(
+        {"wire": "postgres://db/x", "slot_name": "cdc",
+         "keepalive_interval_s": "1000"}
+    )
+    try:
+        assert ("create_slot", "cdc", _MockPg.REPLICATION_LOGICAL,
+                "wal2json") in pg.calls
+        start = r.initialOffset()
+        assert start == {"lsn": 0}  # catalog "0/0"
+        rows, end = r.read(start)
+        assert [l for l, _ in rows] == [1, 2, 3] and end == {"lsn": 3}
+        assert ("send_feedback", {"write_lsn": 3}) in pg.calls
+        r.commit(end)
+        assert pg.calls[-1] == ("send_feedback",
+                                {"write_lsn": 3, "flush_lsn": 3})
+        assert pg.slots["cdc"] == "0/3"
+    finally:
+        r.stop()
