@@ -30,12 +30,49 @@ from .config import BASE_FIELDS, DML_OPS, EngineConfig
 from .dedup import lww_dedup
 from .lake import (
     LakeTable,
+    _coalesce_ranges,
     bucket_expr,
     chain_for_column,
     fold_cast_expr,
     sql_type,
 )
 from .parse import BASE_COLUMNS
+
+
+def _fold_bstats(raw: list) -> tuple[list, dict]:
+    """Fold the (bucket[, key-prefix block]) lineage rows to per-bucket
+    stats + the batch's per-bucket key INTERVAL lists (coalesced to the
+    lake's MAX_KEY_RANGES). Driver-side arithmetic over the already tiny
+    collect — no extra job. The intervals are what lets the merge skip a
+    cold file even when the batch also touches a far-away hot cluster."""
+    by_bucket: dict = {}
+    for r in raw:
+        d = by_bucket.get(r["bucket"])
+        if d is None:
+            d = by_bucket[r["bucket"]] = {
+                "bucket": r["bucket"],
+                "min_lsn": r["min_lsn"], "max_lsn": r["max_lsn"],
+                "upserts": 0, "deletes": 0,
+                "min_key": r["min_key"], "max_key": r["max_key"],
+                "_ranges": [],
+            }
+        d["min_lsn"] = min(d["min_lsn"], r["min_lsn"])
+        d["max_lsn"] = max(d["max_lsn"], r["max_lsn"])
+        d["upserts"] += r["upserts"]
+        d["deletes"] += r["deletes"]
+        if r["min_key"] is not None and r["max_key"] is not None:
+            d["min_key"] = min(d["min_key"], r["min_key"])
+            d["max_key"] = max(d["max_key"], r["max_key"])
+            d["_ranges"].append([r["min_key"], r["max_key"]])
+    bstats, bucket_ranges = [], {}
+    for bkt in sorted(by_bucket):
+        d = by_bucket[bkt]
+        rs = sorted(d.pop("_ranges"), key=lambda x: (x[0], x[1]))
+        bucket_ranges[bkt] = (
+            _coalesce_ranges(rs) if rs else [[d["min_key"], d["max_key"]]]
+        )
+        bstats.append(d)
+    return bstats, bucket_ranges
 
 METRICS_DDL = (
     "table STRING, batch_id BIGINT, bucket INT, min_lsn BIGINT, max_lsn BIGINT, "
@@ -69,6 +106,9 @@ class CdcApply:
                     n_buckets=self.cfg.n_buckets,
                     table=table,
                 )
+            # write-time layout knob (not persisted in the manifest: it can
+            # change per run; readers only ever follow manifest paths)
+            self._lakes[table].file_block_prefix = self.cfg.file_block_prefix
         return self._lakes[table]
 
     # ------------------------------------------------------------ the batch
@@ -270,12 +310,23 @@ class CdcApply:
             )
         deduped = deduped.persist()
         try:
-            # ONE job yields both the lineage stats and the affected-bucket
-            # list the merge needs for file pruning (O(n_buckets) rows)
-            bstats = (
-                deduped.groupBy(
-                    bucket_expr(lake.key, lake.n_buckets).alias("bucket")
+            # ONE job yields the lineage stats, the affected-bucket list,
+            # AND the batch's per-bucket key intervals the merge needs for
+            # file pruning. Grouping adds a key-prefix block so a batch
+            # spanning hot + cold key clusters reports per-cluster
+            # intervals instead of one folded range (round-3's caveat:
+            # a folded range defeats the skip); collected rows stay
+            # O(n_buckets x distinct prefix blocks), folded driver-side.
+            group_cols = [bucket_expr(lake.key, lake.n_buckets).alias("bucket")]
+            if self.cfg.key_block_prefix > 0:
+                group_cols.append(
+                    F.substring(
+                        F.col(key[0]).cast("string"), 1,
+                        self.cfg.key_block_prefix,
+                    ).alias("_blk")
                 )
+            raw = (
+                deduped.groupBy(*group_cols)
                 .agg(
                     F.min("_lsn").alias("min_lsn"),
                     F.max("_lsn").alias("max_lsn"),
@@ -285,14 +336,12 @@ class CdcApply:
                     F.sum(F.when(F.col("_deleted"), 1).otherwise(0)).alias(
                         "deletes"
                     ),
-                    # batch key range per bucket — rides the same job; feeds
-                    # the merge's within-bucket file skipping (lake manifest
-                    # min_key/max_key footer stats)
                     F.min(key[0]).alias("min_key"),
                     F.max(key[0]).alias("max_key"),
                 )
                 .collect()
             )
+            bstats, bucket_ranges = _fold_bstats(raw)
             info = lake.merge(
                 deduped,
                 batch_id=batch_id,
@@ -305,8 +354,12 @@ class CdcApply:
                 new_truncate_lsn=t_new,
                 affected_buckets=[r["bucket"] for r in bstats],
                 batch_rows=sum(r["upserts"] + r["deletes"] for r in bstats),
-                bucket_key_ranges={
-                    r["bucket"]: (r["min_key"], r["max_key"]) for r in bstats
+                bucket_key_ranges=bucket_ranges,
+                # per-bucket batch volume (same lineage job): lets a
+                # mid-size batch take the bucket-chunked join strategy
+                # instead of falling straight to the lake-shuffling agg
+                bucket_batch_rows={
+                    r["bucket"]: r["upserts"] + r["deletes"] for r in bstats
                 },
             )
             self._write_metrics(table, batch_id, bstats, info, t0)

@@ -78,6 +78,27 @@ class EngineConfig:
     #: falls back to the wide max_by reduce (same guard as the merge's
     #: ``broadcast_max_rows``)
     dedup_broadcast_max_rows: int = 5_000_000
+    #: key-prefix block width for the batch-side multi-interval range
+    #: stats: the lineage job groups by (bucket, first key column's
+    #: string-cast prefix of this length) so a batch spanning hot AND cold
+    #: key clusters reports per-cluster intervals instead of one folded
+    #: range (which defeats file skipping — the round-3 BENCH caveat).
+    #: Cardinality bound of the driver-side collect: n_buckets x distinct
+    #: prefixes actually present — real keyspaces cluster, so this stays
+    #: small; intervals are then coalesced to <= lake.MAX_KEY_RANGES per
+    #: bucket, and the width only affects pruning PRECISION, never
+    #: correctness. 0 disables blocking (one folded interval per bucket,
+    #: the round-3 behavior).
+    key_block_prefix: int = 4
+    #: Iceberg-style truncate-transform file partitioning: when > 0, lake
+    #: data files are additionally split by this key prefix width, so hot
+    #: and cold key clusters land in SEPARATE files with tight ranges and
+    #: a later mixed merge rewrites only the intersecting cluster's files
+    #: (a key-sorted mixed file can never be range-skipped: its row groups
+    #: bridge the gap). Off by default — it multiplies file count by the
+    #: blocks-per-bucket actually present; turn on for range-clustered
+    #: CDC streams (the workload the round-3 soak modeled).
+    file_block_prefix: int = 0
     #: run lake maintenance every N committed batches (0 = off): compaction
     #: (drop dead rows, consolidate bucket files) + snapshot expiry keeping
     #: the newest ``expire_keep`` manifests. Cheap O(1) truncates and

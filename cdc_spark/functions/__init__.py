@@ -7,6 +7,7 @@ from __future__ import annotations
 def registry() -> dict:
     from . import (
         dedupe,
+        dedupe_index,
         multimodal,
         pipeline,
         sampling,
@@ -16,7 +17,7 @@ def registry() -> dict:
     )
 
     out: dict = {}
-    for mod in (text, dedupe, similarity, multimodal, temporal, sampling,
-                pipeline):
+    for mod in (text, dedupe, dedupe_index, similarity, multimodal,
+                temporal, sampling, pipeline):
         out.update(mod.registry())
     return out

@@ -24,15 +24,20 @@ Manifest fields:
     schema_changes            -- RAW (lsn, change_json) history; validity is
                                  re-derived on every read via replay_changes
     files                     -- [{path, bucket, schema_id, change_lsn,
-                                 min_key, max_key, rows}]
+                                 min_key, max_key, key_ranges, rows}]
                                  (paths rel. root; change_lsn = the highest
                                  schema-change LSN applied at write time —
                                  an LSN stamp, NOT a list position, because
                                  out-of-order control events insert into the
                                  MIDDLE of the LSN-sorted history and would
                                  shift positional indexes under existing
-                                 files; min/max_key = first-key-column range
-                                 for file skipping, rows = row count)
+                                 files; min/max_key = folded first-key-column
+                                 range, key_ranges = per-row-group interval
+                                 list (<= MAX_KEY_RANGES, round 4+ — keeps a
+                                 mixed hot+cold file's gap visible to the
+                                 skip test; absent in legacy manifests, where
+                                 pruning falls back to min/max),
+                                 rows = row count)
     truncate_lsn              -- table-truncate watermark (O(1) truncate)
     last_batch                -- {id, lsn_hwm}: idempotent-commit key (E2);
                                  commits are keyed by (checkpoint epoch,
@@ -171,13 +176,77 @@ def bucket_expr(key: tuple[str, ...], n_buckets: int):
     return F.pmod(F.xxhash64(*cols), F.lit(n_buckets)).cast("int")
 
 
+def _pack_buckets(
+    bucket_rows: dict, budget: int, max_groups: int
+) -> list[list[int]] | None:
+    """First-fit-decreasing bin pack of the batch's buckets into chunks of
+    at most ``budget`` batch rows each — the plan for the 'chunked' merge
+    strategy (each chunk's key set broadcasts on its own). Returns None
+    when infeasible: a single bucket alone exceeds the budget (its join
+    side would not be safely broadcastable) or the batch needs more than
+    ``max_groups`` chunks (plan-size guard) — the caller then falls back
+    to the shuffle 'agg' strategy."""
+    bins: list[list] = []  # [rows, [buckets]]
+    for bkt, rows in sorted(
+        bucket_rows.items(), key=lambda kv: (-kv[1], kv[0])
+    ):
+        if rows > budget:
+            return None
+        for bin_ in bins:
+            if bin_[0] + rows <= budget:
+                bin_[0] += rows
+                bin_[1].append(bkt)
+                break
+        else:
+            bins.append([rows, [bkt]])
+            if len(bins) > max_groups:
+                return None
+    return [sorted(b[1]) for b in bins]
+
+
+#: per-file interval cap: row-group intervals beyond this are coalesced by
+#: merging the SMALLEST gaps first, so the kept intervals preserve the
+#: largest holes — the ones that actually let a merge skip the file
+MAX_KEY_RANGES = 8
+
+
+def _coalesce_ranges(ranges: list, cap: int = MAX_KEY_RANGES) -> list:
+    """Merge overlapping/adjacent [lo, hi] intervals (inputs sorted by lo),
+    then reduce to <= cap by closing the narrowest gaps."""
+    out: list = []
+    for lo, hi in ranges:
+        if out and lo <= out[-1][1]:
+            if hi > out[-1][1]:
+                out[-1][1] = hi
+        else:
+            out.append([lo, hi])
+    while len(out) > cap:
+        # find the narrowest inter-interval gap and merge across it.
+        # "narrowest" needs a numeric width; for string keys fall back to
+        # merging the first pair (still correct, just less selective)
+        best, best_w = 0, None
+        for i in range(len(out) - 1):
+            a, b = out[i][1], out[i + 1][0]
+            w = (b - a) if isinstance(a, int) and isinstance(b, int) else None
+            if best_w is None or (w is not None and (best_w is False or w < best_w)):
+                best, best_w = i, (w if w is not None else False)
+        out[best][1] = out[best + 1][1]
+        del out[best + 1]
+    return out
+
+
 def _file_key_stats(path: str, key_col: str) -> tuple:
-    """(min, max, rows) of ``key_col`` from the parquet FOOTER — a driver-
-    side metadata read (no data scan, no job). Rows are key-sorted within
-    files, so footer min/max are exact cluster bounds; ``merge`` uses them
-    to skip files whose key range cannot intersect a batch (Iceberg's
-    lower/upper_bounds file skipping). Returns (None, None, rows) when the
-    writer produced no stats for the column (pruning then never skips)."""
+    """(min, max, rows, key_ranges) of ``key_col`` from the parquet FOOTER
+    — a driver-side metadata read (no data scan, no job). Rows are
+    key-sorted within files, so footer min/max are exact cluster bounds;
+    ``merge`` uses them to skip files whose key range cannot intersect a
+    batch (Iceberg's lower/upper_bounds file skipping). ``key_ranges`` is
+    the PER-ROW-GROUP interval list (coalesced to <= MAX_KEY_RANGES):
+    single-interval stats go blind the moment one file holds both a hot
+    and a cold key cluster (its folded range spans everything), while the
+    row-group intervals keep the gap visible, so the mixed file still
+    skips batches that fall into the hole. Returns (None, None, rows,
+    None) when the writer produced no stats (pruning then never skips)."""
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(path).metadata
@@ -187,21 +256,36 @@ def _file_key_stats(path: str, key_col: str) -> tuple:
             idx = i
             break
     lo = hi = None
+    ranges = []
     for g in range(md.num_row_groups):
         st = md.row_group(g).column(idx).statistics if idx is not None else None
         if st is None or not st.has_min_max:
-            return None, None, md.num_rows
+            return None, None, md.num_rows, None
         mn, mx = st.min, st.max
         if isinstance(mn, bytes):
             try:
                 mn, mx = mn.decode(), mx.decode()
             except UnicodeDecodeError:
-                return None, None, md.num_rows
+                return None, None, md.num_rows, None
+        ranges.append([mn, mx])
         lo = mn if lo is None or mn < lo else lo
         hi = mx if hi is None or mx > hi else hi
     if not isinstance(lo, (str, int)) or type(lo) is not type(hi):
-        return None, None, md.num_rows
-    return lo, hi, md.num_rows
+        return None, None, md.num_rows, None
+    ranges.sort(key=lambda r: (r[0], r[1]))
+    return lo, hi, md.num_rows, _coalesce_ranges(ranges)
+
+
+def _file_ranges(f: dict) -> list | None:
+    """A manifest file entry's pruning intervals: the row-group ranges when
+    stamped (round 4+), else the folded [min, max] (legacy manifests), else
+    None (no stats — never skip)."""
+    if f.get("key_ranges"):
+        return f["key_ranges"]
+    mn, mx = f.get("min_key"), f.get("max_key")
+    if mn is None or mx is None:
+        return None
+    return [[mn, mx]]
 
 
 def chain_for_column(
@@ -298,8 +382,23 @@ def project_to(
 
 class LakeTable:
     #: above this many batch rows the broadcast 'join' merge strategy falls
-    #: back to the shuffle 'agg' strategy (a broadcast must fit executor mem)
+    #: back to bucket-chunked joins and, past the chunk budget, to the
+    #: shuffle 'agg' strategy (a broadcast must fit executor mem)
     broadcast_max_rows = 5_000_000
+    #: chunked-join budget: the batch may exceed broadcast_max_rows by up
+    #: to this factor if its buckets bin-pack into at most this many
+    #: broadcastable chunks (each chunk = its own broadcast join; the plan
+    #: unions the chunks, so the count is bounded to keep plan size sane)
+    chunk_max_groups = 32
+    #: parquet row-group size (bytes) for lake data files; None = Spark's
+    #: default (128 MB). Smaller groups give the per-row-group key_ranges
+    #: stats finer pruning granularity — tests set a tiny value so multi-
+    #: interval pruning is exercised on small fixtures
+    parquet_block_size: int | None = None
+    #: truncate-transform file partitioning width (EngineConfig.
+    #: file_block_prefix): > 0 adds a key-prefix partition level to data
+    #: file paths so key clusters become separately skippable files
+    file_block_prefix: int = 0
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -530,9 +629,11 @@ class LakeTable:
         for f in self._meta["files"]:
             if f["bucket"] != bucket:
                 continue
-            mn, mx = f.get("min_key"), f.get("max_key")
+            ranges = _file_ranges(f)
             try:
-                if mn is not None and mx is not None and (k1 < mn or k1 > mx):
+                if ranges is not None and all(
+                    k1 < mn or k1 > mx for mn, mx in ranges
+                ):
                     continue
             except TypeError:
                 pass  # mixed-type stats: keep the file
@@ -553,6 +654,67 @@ class LakeTable:
         )
 
     # -------------------------------------------------------------- merging
+    def _write_data(self, merged: DataFrame, out_dir: str) -> None:
+        """One data write for merge/compact: bucket-partitioned, plus the
+        truncate-transform key-prefix level when ``file_block_prefix`` is
+        on (separate files per key cluster -> skippable independently)."""
+        part_cols = ["_bucket"]
+        if self.file_block_prefix:
+            merged = merged.withColumn(
+                "_kblk",
+                F.substring(
+                    F.coalesce(
+                        F.col(self.key[0]).cast("string"), F.lit("")
+                    ),
+                    1,
+                    self.file_block_prefix,
+                ),
+            )
+            part_cols.append("_kblk")
+        writer = merged.write.partitionBy(*part_cols).mode("overwrite")
+        if self.parquet_block_size:
+            writer = writer.option(
+                "parquet.block.size", str(self.parquet_block_size)
+            )
+        writer.parquet(out_dir)
+
+    def _stat_written(
+        self, out_dir: str, data_rel: str, schema_id: int, change_lsn: int
+    ) -> list[dict]:
+        """Walk the freshly written data dir (any partition depth) and stamp
+        each file's manifest entry with its footer key stats."""
+        out = []
+        for dirpath, _dirs, fnames in sorted(os.walk(out_dir)):
+            bucket = next(
+                (
+                    int(seg.split("=", 1)[1])
+                    for seg in dirpath.split(os.sep)
+                    if seg.startswith("_bucket=")
+                ),
+                None,
+            )
+            if bucket is None:
+                continue
+            for part in sorted(fnames):
+                if not part.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, part)
+                mn, mx, nrows, ranges = _file_key_stats(full, self.key[0])
+                rel = os.path.relpath(full, self.root)
+                out.append(
+                    {
+                        "path": rel,
+                        "bucket": bucket,
+                        "schema_id": schema_id,
+                        "change_lsn": change_lsn,
+                        "min_key": mn,
+                        "max_key": mx,
+                        "key_ranges": ranges,
+                        "rows": nrows,
+                    }
+                )
+        return out
+
     def merge(
         self,
         batch_df: DataFrame | None,
@@ -567,6 +729,7 @@ class LakeTable:
         strategy: str | None = None,
         new_schema_changes: list | None = None,
         bucket_key_ranges: dict | None = None,
+        bucket_batch_rows: dict | None = None,
     ) -> dict:
         """Copy-on-write upsert of a deduped batch + single atomic commit.
 
@@ -577,7 +740,7 @@ class LakeTable:
         a batch_id at or below the last committed one is skipped wholesale
         (exactly-once under Spark's replay-on-restart, E2).
 
-        Two physical strategies (result-identical, covered by the same
+        Three physical strategies (result-identical, covered by the same
         oracle tests):
 
         - ``join`` (default when the batch is broadcastable): lake bytes
@@ -589,13 +752,20 @@ class LakeTable:
           once — the shape that survives 100 TB, where shuffling the lake
           through an exchange would dominate (and this VM's memory-bandwidth
           ceiling shows exactly that effect locally).
+        - ``chunked`` (mid-size batches, up to ~chunk_max_groups x the
+          broadcast budget): the batch's buckets are bin-packed
+          (``_pack_buckets``, fed by ``bucket_batch_rows`` from the
+          caller's existing lineage job) into chunks whose key sets each
+          broadcast; every chunk runs the join strategy against only its
+          own buckets' files and the chunks union into one write — lake
+          bytes STILL never cross an exchange.
         - ``agg`` (fallback for huge batches): union old+batch, per-key
           max_by reduce (partial-aggregated), repartition by bucket.
           Shuffles touched lake rows; used when the batch itself is too
-          large to broadcast.
+          large even for chunking.
 
-        ``batch_rows`` (when known, e.g. from the caller's lineage job)
-        picks the strategy automatically.
+        ``batch_rows`` / ``bucket_batch_rows`` (when known, e.g. from the
+        caller's lineage job) pick the strategy automatically.
         """
         cur = self._meta
         if batch_id <= cur["last_batch"]["id"]:
@@ -651,117 +821,167 @@ class LakeTable:
                 affected = sorted(
                     r[0] for r in b.select("_bucket").distinct().collect()
                 )
+        chunk_plan = None
         if strategy is None:
-            strategy = (
-                "join"
-                if batch_rows is not None and batch_rows <= self.broadcast_max_rows
-                else "agg" if batch_rows is not None else "join"
+            if batch_rows is None or batch_rows <= self.broadcast_max_rows:
+                strategy = "join"
+            else:
+                if bucket_batch_rows:
+                    chunk_plan = _pack_buckets(
+                        bucket_batch_rows,
+                        self.broadcast_max_rows,
+                        self.chunk_max_groups,
+                    )
+                strategy = "chunked" if chunk_plan else "agg"
+        elif strategy == "chunked":
+            if not bucket_batch_rows:
+                raise ValueError(
+                    "strategy='chunked' needs bucket_batch_rows"
+                )
+            chunk_plan = _pack_buckets(
+                bucket_batch_rows, self.broadcast_max_rows,
+                self.chunk_max_groups,
             )
+            if chunk_plan is None:
+                strategy = "agg"  # infeasible: one bucket over budget
         if affected:
             touched = [f for f in cur["files"] if f["bucket"] in affected]
             untouched = [f for f in cur["files"] if f["bucket"] not in affected]
             if bucket_key_ranges:
-                # file skipping WITHIN an affected bucket: a file whose
-                # first-key-column range is disjoint from the batch's range
-                # for that bucket cannot contain any batch key (so no LWW
-                # race either way) — leave it in place instead of rewriting
-                # the hot bucket wholesale. ``bucket_key_ranges`` comes from
-                # the caller's existing lineage aggregation (zero extra jobs)
+                # file skipping WITHIN an affected bucket: a file ALL of
+                # whose key intervals (per-row-group, so a mixed hot+cold
+                # file keeps its gap visible) are disjoint from the batch's
+                # range for that bucket cannot contain any batch key (so no
+                # LWW race either way) — leave it in place instead of
+                # rewriting the hot bucket wholesale. ``bucket_key_ranges``
+                # comes from the caller's existing lineage aggregation
+                # (zero extra jobs)
                 kept = []
                 for f in touched:
                     rng = bucket_key_ranges.get(f["bucket"])
-                    fmin, fmax = f.get("min_key"), f.get("max_key")
+                    ranges = _file_ranges(f)
                     try:
+                        # batch side: either a legacy (min, max) tuple or a
+                        # round-4 interval list (per key-prefix block) —
+                        # disjoint iff every (file, batch) interval pair is
+                        if rng and not isinstance(rng[0], (list, tuple)):
+                            rng = [rng]
                         disjoint = (
-                            rng is not None
-                            and fmin is not None
-                            and fmax is not None
-                            and rng[0] is not None
-                            and (fmax < rng[0] or fmin > rng[1])
+                            bool(rng)
+                            and ranges is not None
+                            and all(r0 is not None for r0, _ in rng)
+                            and all(
+                                fmax < r0 or fmin > r1
+                                for fmin, fmax in ranges
+                                for r0, r1 in rng
+                            )
                         )
                     except TypeError:  # mixed-type stats: never skip
                         disjoint = False
                     (untouched if disjoint else kept).append(f)
                 touched = kept
-            old = self._read_files(touched, final_fields, changes=parsed_changes)
             key = list(self.key)
-            if old is not None:
-                old = old.withColumn(
-                    "_bucket", bucket_expr(self.key, self.n_buckets)
+
+            def _load_old(file_list):
+                o = self._read_files(
+                    file_list, final_fields, changes=parsed_changes
                 )
-                # rows killed by a truncate can be GC'd while we rewrite
-                old = old.filter(F.col("_lsn") > F.lit(truncate_lsn))
-            if old is None:
-                merged = b.repartition(
-                    max(len(affected), 1), "_bucket"
-                ).sortWithinPartitions("_bucket", *key)
-            elif strategy == "join":
-                # broadcast the batch's (key, lsn) set; lake rows never shuffle
+                if o is not None:
+                    o = o.withColumn(
+                        "_bucket", bucket_expr(self.key, self.n_buckets)
+                    )
+                    # rows killed by a truncate can be GC'd while we rewrite
+                    o = o.filter(F.col("_lsn") > F.lit(truncate_lsn))
+                return o
+
+            def _join_merge(o, bb, n_parts):
+                # broadcast the batch's (key, lsn) set; lake rows never
+                # shuffle
                 bk = F.broadcast(
-                    b.select(*key, F.col("_lsn").alias("_b_lsn"))
+                    bb.select(*key, F.col("_lsn").alias("_b_lsn"))
                 )
-                # old survivors: no batch row for the key, or batch is stale
-                # (ties -> old wins, the rows are identical redeliveries)
+                # old survivors: no batch row for the key, or batch is
+                # stale (ties -> old wins: identical redeliveries)
                 keep_old = (
-                    old.join(bk, key, "left")
+                    o.join(bk, key, "left")
                     .filter(
                         F.col("_b_lsn").isNull()
                         | (F.col("_b_lsn") <= F.col("_lsn"))
                     )
                     .drop("_b_lsn")
                 )
-                # batch rows beaten by an existing newer/equal row (map-side
-                # inner join over old; output is at most |batch| keys)
+                # batch rows beaten by an existing newer/equal row
+                # (map-side inner join over old; at most |batch| keys out)
                 stale = (
-                    old.join(bk, key, "inner")
+                    o.join(bk, key, "inner")
                     .filter(F.col("_lsn") >= F.col("_b_lsn"))
                     .select(*key)
                 )
-                keep_batch = b.join(F.broadcast(stale), key, "left_anti")
-                merged = keep_old.unionByName(
-                    keep_batch.repartition(max(len(affected), 1), "_bucket")
+                keep_batch = bb.join(F.broadcast(stale), key, "left_anti")
+                return keep_old.unionByName(
+                    keep_batch.repartition(max(n_parts, 1), "_bucket")
                 ).sortWithinPartitions("_bucket", *key)
+
+            if strategy == "chunked" and chunk_plan is not None:
+                # one broadcast join per broadcastable bucket chunk; the
+                # chunks union into a single write + commit, and lake rows
+                # still never cross an exchange
+                merged = None
+                planned = {bkt for grp in chunk_plan for bkt in grp}
+                groups = list(chunk_plan)
+                for bkt in affected:
+                    if bkt not in planned:  # caller stats missed a bucket
+                        groups.append([bkt])
+                for group in groups:
+                    gset = set(group)
+                    b_g = b.filter(F.col("_bucket").isin(group))
+                    old_g = _load_old(
+                        [f for f in touched if f["bucket"] in gset]
+                    )
+                    part = (
+                        b_g.repartition(
+                            max(len(group), 1), "_bucket"
+                        ).sortWithinPartitions("_bucket", *key)
+                        if old_g is None
+                        else _join_merge(old_g, b_g, len(group))
+                    )
+                    merged = (
+                        part if merged is None else merged.unionByName(part)
+                    )
             else:
-                merged = old.unionByName(b)
-                payload = [c for c in merged.columns if c not in key]
-                # partial aggregation collapses per-key map-side before the
-                # single shuffle; sortWithinPartitions gives key-sorted files
-                merged = (
-                    merged.groupBy(*key)
-                    .agg(F.max_by(F.struct(*payload), F.col("_lsn")).alias("_s"))
-                    .select(*key, F.col("_s.*"))
-                    .repartition(max(len(affected), 1), "_bucket")
-                    .sortWithinPartitions("_bucket", *key)
-                )
+                old = _load_old(touched)
+                if old is None:
+                    merged = b.repartition(
+                        max(len(affected), 1), "_bucket"
+                    ).sortWithinPartitions("_bucket", *key)
+                elif strategy == "join":
+                    merged = _join_merge(old, b, len(affected))
+                else:
+                    merged = old.unionByName(b)
+                    payload = [c for c in merged.columns if c not in key]
+                    # partial aggregation collapses per-key map-side before
+                    # the single shuffle; sortWithinPartitions gives
+                    # key-sorted files
+                    merged = (
+                        merged.groupBy(*key)
+                        .agg(
+                            F.max_by(
+                                F.struct(*payload), F.col("_lsn")
+                            ).alias("_s")
+                        )
+                        .select(*key, F.col("_s.*"))
+                        .repartition(max(len(affected), 1), "_bucket")
+                        .sortWithinPartitions("_bucket", *key)
+                    )
             # per-attempt unique staging dir: a writer that loses the manifest
             # race must leave only orphan files, never clobber the winner's
             # already-published data (its files are GC'd by expire_snapshots)
             data_rel = f"data/v{new_version}-{uuid.uuid4().hex[:8]}"
             out_dir = os.path.join(self.root, data_rel)
-            (
-                merged.write.partitionBy("_bucket")
-                .mode("overwrite")
-                .parquet(out_dir)
+            self._write_data(merged, out_dir)
+            files.extend(
+                self._stat_written(out_dir, data_rel, schema_id, change_lsn)
             )
-            for bdir in sorted(os.listdir(out_dir)):
-                if not bdir.startswith("_bucket="):
-                    continue
-                bucket = int(bdir.split("=")[1])
-                for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
-                    if part.endswith(".parquet"):
-                        full = os.path.join(out_dir, bdir, part)
-                        mn, mx, nrows = _file_key_stats(full, self.key[0])
-                        files.append(
-                            {
-                                "path": f"{data_rel}/{bdir}/{part}",
-                                "bucket": bucket,
-                                "schema_id": schema_id,
-                                "change_lsn": change_lsn,
-                                "min_key": mn,
-                                "max_key": mx,
-                                "rows": nrows,
-                            }
-                        )
             rewritten = len(files)
             files.extend(untouched)
         else:
@@ -795,6 +1015,8 @@ class LakeTable:
             "batch_id": batch_id,
             "affected_buckets": affected,
             "files_written": rewritten,
+            "strategy": strategy if affected else None,
+            "chunks": len(chunk_plan) if chunk_plan else None,
         }
 
     # ----------------------------------------------------------- compaction
@@ -819,29 +1041,16 @@ class LakeTable:
         new_version = cur["version"] + 1
         data_rel = f"data/v{new_version}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, data_rel)
-        (
-            df.repartition(self.n_buckets, "_bucket")
-            .sortWithinPartitions("_bucket", *self.key)
-            .write.partitionBy("_bucket")
-            .mode("overwrite")
-            .parquet(out_dir)
+        self._write_data(
+            df.repartition(self.n_buckets, "_bucket").sortWithinPartitions(
+                "_bucket", *self.key
+            ),
+            out_dir,
         )
-        files = []
         change_lsn = max((l for l, _ in parsed_changes), default=-1)
-        for bdir in sorted(os.listdir(out_dir)):
-            if not bdir.startswith("_bucket="):
-                continue
-            bucket = int(bdir.split("=")[1])
-            for part in sorted(os.listdir(os.path.join(out_dir, bdir))):
-                if part.endswith(".parquet"):
-                    full = os.path.join(out_dir, bdir, part)
-                    mn, mx, nrows = _file_key_stats(full, self.key[0])
-                    files.append(
-                        {"path": f"{data_rel}/{bdir}/{part}", "bucket": bucket,
-                         "schema_id": cur["schema_id"],
-                         "change_lsn": change_lsn,
-                         "min_key": mn, "max_key": mx, "rows": nrows}
-                    )
+        files = self._stat_written(
+            out_dir, data_rel, cur["schema_id"], change_lsn
+        )
         meta = dict(cur)
         meta.update(
             version=new_version, files=files, parent=cur["version"],

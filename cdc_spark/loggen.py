@@ -358,3 +358,36 @@ def realistic_docs(
         ),
         F.length(text).alias("n_chars"),
     )
+
+
+def clustered_vectors(
+    spark: SparkSession,
+    n_vecs: int,
+    dim: int = 64,
+    n_clusters: int = 16,
+    seed: int = 11,
+) -> DataFrame:
+    """Deterministic clustered embedding corpus for ANN probes: each vector
+    is its latent cluster's ±1 corner plus small per-vector noise, all as
+    column expressions (executor-side, no driver data). The latent
+    structure gives IVF quantizers something real to recover, so recall
+    against exact search is a meaningful quality signal."""
+    df = spark.range(n_vecs).select(F.col("id").alias("vec_id"))
+    c = F.pmod(F.col("vec_id"), F.lit(n_clusters))
+    comps = []
+    for d in range(dim):
+        sign = F.when(
+            F.pmod(F.abs(F.xxhash64(c, F.lit(d), F.lit(seed))), F.lit(2)) == 0,
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        noise = (
+            F.pmod(
+                F.abs(F.xxhash64(F.col("vec_id"), F.lit(d), F.lit(seed + 1))),
+                F.lit(1_000),
+            )
+            / F.lit(5_000.0)
+        )
+        comps.append(sign + noise)
+    return df.select(
+        "vec_id", F.array(*comps).cast("array<float>").alias("embedding")
+    )
