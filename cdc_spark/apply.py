@@ -61,8 +61,16 @@ def _fold_bstats(raw: list) -> tuple[list, dict]:
         d["upserts"] += r["upserts"]
         d["deletes"] += r["deletes"]
         if r["min_key"] is not None and r["max_key"] is not None:
-            d["min_key"] = min(d["min_key"], r["min_key"])
-            d["max_key"] = max(d["max_key"], r["max_key"])
+            # the accumulated value can be None (an all-null-key prefix
+            # group seen first for this bucket) — min(None, x) would raise
+            d["min_key"] = (
+                r["min_key"] if d["min_key"] is None
+                else min(d["min_key"], r["min_key"])
+            )
+            d["max_key"] = (
+                r["max_key"] if d["max_key"] is None
+                else max(d["max_key"], r["max_key"])
+            )
             d["_ranges"].append([r["min_key"], r["max_key"]])
     bstats, bucket_ranges = [], {}
     for bkt in sorted(by_bucket):

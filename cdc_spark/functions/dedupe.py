@@ -84,17 +84,24 @@ def minhash_autosize(n_docs: int) -> tuple[int, int, int]:
 
 #: corpus-size cache: the sizing rules need ONE cheap count job per input
 #: directory (metadata-only over parquet); memoized so every LSH query on
-#: the same corpus shares it. At 100 TB the count would ride an existing
+#: the same corpus shares it. Keyed on the parquet path's mtime so an
+#: overwritten corpus re-counts (a stale count would silently pick the
+#: wrong banding regime). At 100 TB the count would ride an existing
 #: stats job (the apply path's HLL estimate) instead.
 _NCACHE: dict = {}
 
 
 def corpus_size(spark, sf_dir: str, table: str = "documents") -> int:
-    key = (table, sf_dir)
+    import os
+
+    path = f"{sf_dir}/{table}.parquet"
+    try:
+        stamp = os.path.getmtime(path)
+    except OSError:
+        stamp = None
+    key = (table, sf_dir, stamp)
     if key not in _NCACHE:
-        _NCACHE[key] = (
-            spark.read.parquet(f"{sf_dir}/{table}.parquet").count()
-        )
+        _NCACHE[key] = spark.read.parquet(path).count()
     return _NCACHE[key]
 
 

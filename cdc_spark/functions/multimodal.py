@@ -107,8 +107,15 @@ def _real_decode(payload: bytes, media_type: str) -> dict:
         data, rate = _soundfile.read(io.BytesIO(payload))  # pragma: no cover
         n = len(data)  # pragma: no cover
         channels = data.shape[1] if data.ndim > 1 else 1  # pragma: no cover
+        # mean over SAMPLES (frames x channels), not frames — dividing by
+        # the frame count would inflate the mean by the channel count
+        n_samples = data.size if hasattr(data, "size") else n  # pragma: no cover
         mean = (  # pragma: no cover
-            int(sum(abs(float(x)) for x in data.flat) * 10_000 // max(n, 1))
+            int(
+                sum(abs(float(x)) for x in data.flat)
+                * 10_000
+                // max(n_samples, 1)
+            )
             if n
             else 0
         )
@@ -138,7 +145,12 @@ def decode_media(payload: bytes, media_type: str, decoder: str = "fake") -> dict
         ):  # pragma: no cover - libs absent here
             return _real_decode(payload, media_type)
         return _fake_decode(payload, media_type)
-    return _fake_decode(payload, media_type)
+    if decoder == "fake":
+        return _fake_decode(payload, media_type)
+    # a typo'd decoder must never silently produce pseudo-features
+    raise ValueError(
+        f"unknown decoder {decoder!r}: expected 'fake', 'real', or 'auto'"
+    )
 
 
 def media_table(docs: DataFrame) -> DataFrame:

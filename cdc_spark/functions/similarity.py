@@ -394,7 +394,16 @@ def ivf_index(e, nlist: int, n_vecs: int, dim: int = EMB_DIM):
     cents = subs.select(
         (F.col("coarse") * nsub + F.col("sub_id")).alias("cent_id"), "cv"
     )
-    ec = e.join(_ivf_assign(e, coarse), "vec_id").withColumnRenamed(
+    # a coarse centroid can win ZERO sample vectors in the final training
+    # re-assignment (the classic empty-cluster case) and then carry no
+    # sub-centroids; assigning full-corpus vectors to it would silently
+    # drop them from the index (inner join on 'coarse'). Restrict the
+    # corpus-level coarse assignment to sub-bearing cells so every vector
+    # lands in exactly one real cell.
+    live_coarse = coarse.join(
+        subs.select(F.col("coarse").alias("cent_id")).distinct(), "cent_id"
+    )
+    ec = e.join(_ivf_assign(e, live_coarse), "vec_id").withColumnRenamed(
         "cell", "coarse"
     )
     assign = _sub_assign(ec, subs).select(

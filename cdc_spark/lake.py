@@ -679,7 +679,7 @@ class LakeTable:
         writer.parquet(out_dir)
 
     def _stat_written(
-        self, out_dir: str, data_rel: str, schema_id: int, change_lsn: int
+        self, out_dir: str, schema_id: int, change_lsn: int
     ) -> list[dict]:
         """Walk the freshly written data dir (any partition depth) and stamp
         each file's manifest entry with its footer key stats."""
@@ -980,7 +980,7 @@ class LakeTable:
             out_dir = os.path.join(self.root, data_rel)
             self._write_data(merged, out_dir)
             files.extend(
-                self._stat_written(out_dir, data_rel, schema_id, change_lsn)
+                self._stat_written(out_dir, schema_id, change_lsn)
             )
             rewritten = len(files)
             files.extend(untouched)
@@ -1049,7 +1049,7 @@ class LakeTable:
         )
         change_lsn = max((l for l, _ in parsed_changes), default=-1)
         files = self._stat_written(
-            out_dir, data_rel, cur["schema_id"], change_lsn
+            out_dir, cur["schema_id"], change_lsn
         )
         meta = dict(cur)
         meta.update(
@@ -1140,8 +1140,14 @@ class LakeTable:
                     pass
                 for sub in sorted(os.listdir(full)):
                     subp = os.path.join(full, sub)
+                    # emptiness must be checked RECURSIVELY: with
+                    # file_block_prefix the parquet files live one level
+                    # deeper (_bucket=K/_kblk=P/*.parquet), and a direct-
+                    # children check would rmtree live data
                     if os.path.isdir(subp) and not any(
-                        x.endswith(".parquet") for x in os.listdir(subp)
+                        x.endswith(".parquet")
+                        for _, _, fn in os.walk(subp)
+                        for x in fn
                     ):
                         import shutil
 

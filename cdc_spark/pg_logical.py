@@ -250,6 +250,13 @@ class Psycopg2Wire:
     an explicit ``start_lsn``) recycle the connection: close, reconnect,
     re-position. Postgres replays retained WAL after the slot's
     ``restart_lsn``, which is exactly the semantics the fake models.
+
+    Boundary note: the fake wire treats ``start_lsn`` as EXCLUSIVE
+    (messages strictly after it) while a real ``START_REPLICATION`` is
+    inclusive of the position — so on a real server the first message of a
+    batch can be a redelivery of the previous batch's last LSN. That is
+    at-least-once delivery, which the pipeline already absorbs (LWW dedup
+    + idempotent lake commits); it never loses or reorders data.
     """
 
     def __init__(self, dsn: str, plugin: str = "wal2json",
@@ -282,9 +289,14 @@ class Psycopg2Wire:
         except self._psycopg2.ProgrammingError as e:
             # reference postgres_logical.py:155-163: the only tolerated
             # ProgrammingError is already-exists; surface it as SlotError
-            # so the reader's create-if-absent catch applies
-            if (str(e).strip()
-                    == f'replication slot "{slot_name}" already exists'):
+            # so the reader's create-if-absent catch applies. Matched by
+            # SQLSTATE 42710 (duplicate_object) first — message text is
+            # localized (lc_messages) and version-dependent; the English
+            # string is only a fallback for drivers not exposing pgcode.
+            if getattr(e, "pgcode", None) == "42710" or (
+                str(e).strip()
+                == f'replication slot "{slot_name}" already exists'
+            ):
                 raise SlotError(str(e).strip()) from e
             raise
         finally:
@@ -426,15 +438,20 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
 
     def __getstate__(self) -> dict:
         """Spark cloudpickles the simple reader into its worker process;
-        thread primitives don't pickle, so drop them and respawn the
-        keepalive thread on the other side."""
+        thread primitives don't pickle, and neither do live psycopg2
+        connections — drop them all and rebuild on the other side (the
+        wire URL + slot name are sufficient; the slot already exists, so
+        the rebuild never re-creates it)."""
         d = self.__dict__.copy()
-        for k in ("_fb_lock", "_last_keepalive", "_ka_stop", "_ka_thread"):
+        for k in ("_fb_lock", "_last_keepalive", "_ka_stop", "_ka_thread",
+                  "_wire", "_cursor"):
             d.pop(k, None)
         return d
 
     def __setstate__(self, state: dict) -> None:
         self.__dict__.update(state)
+        self._wire = connect_wire(self._wire_url)
+        self._cursor = self._wire.start_replication(self._slot)
         self._start_keepalive_thread()
 
     def _feedback(self, **kwargs) -> None:
@@ -442,18 +459,33 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         through one lock — the replication cursor is not thread-safe — and
         resets the keepalive clock, mirroring the reference's
         ``commit_positions``/``send_keepalive`` both stamping
-        ``__last_keepalive_datetime``."""
+        ``__last_keepalive_datetime``.
+
+        Feedback is sent via the WIRE (which always addresses its current
+        replication cursor), not a cursor captured at init: on the psycopg2
+        wire each ``start_replication`` recycles the connection, so a
+        cursor cached by the reader would be closed after the first
+        ``read``."""
         with self._fb_lock:
-            self._cursor.send_feedback(**kwargs)
+            self._wire.send_feedback(self._slot, **kwargs)
             self._last_keepalive = time.monotonic()
 
+    #: consecutive keepalive failures tolerated before the thread gives up
+    #: (a dead wire at shutdown should not spin forever; a transient blip
+    #: must NOT kill keepalives for the stream's lifetime)
+    _KA_MAX_FAILURES = 60
+
     def _keepalive_loop(self) -> None:
+        failures = 0
         while not self._ka_stop.wait(max(min(self._keepalive_s, 1.0) / 2, 0.01)):
             if time.monotonic() - self._last_keepalive >= self._keepalive_s:
                 try:
                     self._feedback()  # empty = standby keepalive
+                    failures = 0
                 except Exception:
-                    return  # wire torn down; reader is being stopped
+                    failures += 1
+                    if failures >= self._KA_MAX_FAILURES:
+                        return  # wire gone for good; stop spinning
 
     def stop(self) -> None:
         self._ka_stop.set()
@@ -466,7 +498,10 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         rows: list[tuple[int, str]] = []
         hwm = start["lsn"]
-        cur = self._wire.start_replication(self._slot, start_lsn=hwm)
+        # connection recycle (psycopg2 wire) must not race a concurrent
+        # keepalive's send_feedback — same lock as all feedback
+        with self._fb_lock:
+            cur = self._wire.start_replication(self._slot, start_lsn=hwm)
         while len(rows) < self._max_events:
             msg = cur.read_message()
             if msg is None:
@@ -483,7 +518,10 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         """Deterministic replay of a planned-but-uncommitted batch after a
         crash: the WAL in (start, end] is still retained because the slot
         only flushed through ``commit``."""
-        cur = self._wire.start_replication(self._slot, start_lsn=start["lsn"])
+        with self._fb_lock:
+            cur = self._wire.start_replication(
+                self._slot, start_lsn=start["lsn"]
+            )
         out = []
         while True:
             msg = cur.read_message()

@@ -331,14 +331,22 @@ class _MockMsg:
 
 
 class _MockReplCursor:
-    """What a psycopg2 LogicalReplicationConnection cursor offers."""
+    """What a psycopg2 LogicalReplicationConnection cursor offers. Every
+    operation checks the connection is still open — the round-4 review
+    found the reader sending feedback through a cursor whose connection a
+    later start_replication had recycled; the mock must model that."""
 
     def __init__(self, conn):
         self.connection = conn
         self._server = conn.server
         self._stream = None
 
+    def _check_open(self):
+        if self.connection.closed:
+            raise RuntimeError("connection already closed")
+
     def create_replication_slot(self, name, repl_type, plugin):
+        self._check_open()
         self._server.calls.append(("create_slot", name, repl_type, plugin))
         if name in self._server.slots:
             raise _MockPg.ProgrammingError(
@@ -347,6 +355,7 @@ class _MockReplCursor:
         self._server.slots[name] = "0/0"
 
     def start_replication(self, name, repl_type, options=None, start_lsn=None):
+        self._check_open()
         self._server.calls.append(
             ("start_replication", name, repl_type, options, start_lsn)
         )
@@ -358,12 +367,14 @@ class _MockReplCursor:
         self._stream = [m for m in self._server.wal if m[0] > lo]
 
     def read_message(self):
+        self._check_open()
         if not self._stream:
             return None
         lsn, payload = self._stream.pop(0)
         return _MockMsg(lsn, payload)
 
     def send_feedback(self, **kw):
+        self._check_open()
         self._server.calls.append(("send_feedback", kw))
         flush = kw.get("flush_lsn")
         if flush is not None:

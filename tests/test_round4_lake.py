@@ -304,3 +304,42 @@ def test_key_ranges_recorded_per_row_group(spark, tmpdir_factory_clean):
     legacy = {"min_key": "a", "max_key": "b"}
     assert _file_ranges(legacy) == [["a", "b"]]
     assert _file_ranges({"min_key": None, "max_key": None}) is None
+
+
+def test_expire_snapshots_keeps_live_kblk_files(spark, tmpdir_factory_clean):
+    """Round-4 review catch: with file_block_prefix on, data files live one
+    dir level deeper (_bucket=K/_kblk=P/*.parquet); the empty-dir sweep in
+    expire_snapshots must check emptiness RECURSIVELY or it rmtree's live
+    manifest-referenced data."""
+    root = tmpdir_factory_clean("kblkexp")
+    lake = LakeTable.create(
+        spark, os.path.join(root, "t"), fields=list(BASE_FIELDS), n_buckets=1
+    )
+    lake.file_block_prefix = 4
+    keys = [f"aaaa-{c}" for c in "abcd"] + [f"zzzz-{c}" for c in "abcd"]
+    lake.merge(_mk_batch(spark, keys, 100), batch_id=0, lsn_hwm=200,
+               batch_rows=len(keys))
+    lake.merge(_mk_batch(spark, ["aaaa-a"], 300), batch_id=1, lsn_hwm=300,
+               batch_rows=1, bucket_key_ranges={0: [["aaaa-a", "aaaa-a"]]})
+    lake.merge(_mk_batch(spark, ["zzzz-a"], 400), batch_id=2, lsn_hwm=400,
+               batch_rows=1, bucket_key_ranges={0: [["zzzz-a", "zzzz-a"]]})
+    before = lake.read().count()
+    lake.expire_snapshots(keep_last=1, orphan_grace_s=0)
+    # every manifest-referenced file still exists and the table still reads
+    for f in lake.meta["files"]:
+        assert os.path.exists(os.path.join(lake.root, f["path"])), f["path"]
+    assert lake.read().count() == before == len(keys)
+
+
+def test_fold_bstats_null_key_group_first(spark):
+    """Accumulated min/max can start as None (all-null-key prefix group
+    seen first) — a later non-null group must not TypeError."""
+    raw = [
+        {"bucket": 0, "min_lsn": 1, "max_lsn": 1, "upserts": 1, "deletes": 0,
+         "min_key": None, "max_key": None},
+        {"bucket": 0, "min_lsn": 2, "max_lsn": 2, "upserts": 1, "deletes": 0,
+         "min_key": "abc", "max_key": "abd"},
+    ]
+    bstats, ranges = _fold_bstats(raw)
+    assert bstats[0]["min_key"] == "abc" and bstats[0]["max_key"] == "abd"
+    assert ranges[0] == [["abc", "abd"]]

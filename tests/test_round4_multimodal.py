@@ -98,3 +98,8 @@ def test_real_path_end_to_end(spark):  # pragma: no cover
     FEATURES_DDL-shaped batches from real bytes."""
     out = mm.extract_features(_media(spark), decoder="real")
     assert out.columns == FEATURE_COLS
+
+
+def test_unknown_decoder_rejected():
+    with pytest.raises(ValueError, match="unknown decoder"):
+        mm.decode_media(b"x", "image", decoder="reaal")
