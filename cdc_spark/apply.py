@@ -99,6 +99,7 @@ class CdcApply:
         self.spark = spark
         self.cfg = cfg
         self._lakes: dict[str, LakeTable] = {}
+        self._neardup_idx: dict = {}
 
     def lake_for(self, table: str) -> LakeTable:
         if table not in self._lakes:
@@ -371,11 +372,52 @@ class CdcApply:
                 },
             )
             self._write_metrics(table, batch_id, bstats, info, t0)
+            if self.cfg.neardup_index and not info.get("skipped"):
+                self._update_neardup_index(
+                    table, deduped, ctrl["lsn_hwm"], batch_id
+                )
         finally:
             deduped.unpersist()
             if cached_winners is not None:
                 cached_winners.unpersist()
         return info
+
+    def _update_neardup_index(
+        self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int
+    ) -> None:
+        """Streaming near-dup screening — the composition of the engine's
+        two halves the north rule describes: the CDC batch that just
+        merged ALSO updates a persistent MinHash band index
+        (:class:`~cdc_spark.functions.dedupe_index.MinHashIndex`, itself a
+        LakeTable), so signatures are computed for exactly the rows this
+        batch changed, never the corpus. Each batch's candidate pairs are
+        appended to a queryable ``_neardups`` table keyed by batch.
+
+        Invariant (tested): after any batch sequence the index's live
+        bands equal ``minhash_bands`` recomputed over the lake's live
+        content — updates LWW-replace, deletes tombstone. Known limit: a
+        table TRUNCATE does not cascade here (the index is per-row; a
+        truncate warrants an index rebuild), documented not silent."""
+        from .functions.dedupe_index import MinHashIndex
+
+        root = os.path.join(self.cfg.lake_root, "_neardup_index", table)
+        idx = self._neardup_idx.get(table)
+        if idx is None or idx.root != root:
+            idx = self._neardup_idx[table] = MinHashIndex(
+                self.spark, root, n_buckets=self.cfg.n_buckets
+            )
+        docs = deduped.select(
+            F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias("doc_id"),
+            F.col("content").alias("text"),
+            "_deleted",
+        )
+        pairs = idx.update(docs, lsn=lsn_hwm, batch_id=batch_id)
+        out = os.path.join(self.cfg.lake_root, "_neardups", table)
+        (
+            pairs.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(out)
+        )
 
     # ---------------------------------------------------------- maintenance
     def _maybe_maintain(self, batch_id: int, tables: list[str]) -> None:

@@ -99,6 +99,14 @@ class EngineConfig:
     #: blocks-per-bucket actually present; turn on for range-clustered
     #: CDC streams (the workload the round-3 soak modeled).
     file_block_prefix: int = 0
+    #: streaming near-dup screening: when True, every applied batch ALSO
+    #: updates a persistent MinHash band index (a LakeTable under
+    #: <lake_root>/_neardup_index/<table>) with exactly the rows it
+    #: changed, and appends the batch's candidate pairs to
+    #: <lake_root>/_neardups/<table> — incremental dedup riding the CDC
+    #: stream instead of re-shingling the corpus per batch. Off by
+    #: default (extra jobs per batch).
+    neardup_index: bool = False
     #: run lake maintenance every N committed batches (0 = off): compaction
     #: (drop dead rows, consolidate bucket files) + snapshot expiry keeping
     #: the newest ``expire_keep`` manifests. Cheap O(1) truncates and

