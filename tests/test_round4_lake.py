@@ -343,3 +343,60 @@ def test_fold_bstats_null_key_group_first(spark):
     bstats, ranges = _fold_bstats(raw)
     assert bstats[0]["min_key"] == "abc" and bstats[0]["max_key"] == "abd"
     assert ranges[0] == [["abc", "abd"]]
+
+
+# ------------------------------------------------- property-based invariants
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 10**6), st.integers(0, 10**6)).map(
+            lambda t: [min(t), max(t)]
+        ),
+        min_size=1, max_size=40,
+    ),
+    st.integers(1, 8),
+)
+def test_coalesce_ranges_properties(ranges, cap):
+    """For any interval set: output is <= cap, sorted, non-overlapping,
+    covers every input point, and preserves the global bounds."""
+    ranges = sorted(ranges, key=lambda r: (r[0], r[1]))
+    out = _coalesce_ranges([list(r) for r in ranges], cap=cap)
+    assert 1 <= len(out) <= cap
+    assert all(a[1] < b[0] for a, b in zip(out, out[1:]))  # disjoint+sorted
+    assert out[0][0] == min(r[0] for r in ranges)
+    assert out[-1][1] == max(r[1] for r in ranges)
+    for lo, hi in ranges:  # every input interval is covered by ONE output
+        assert any(o[0] <= lo and hi <= o[1] for o in out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.dictionaries(st.integers(0, 63), st.integers(1, 1000),
+                    min_size=1, max_size=32),
+    st.integers(1, 2000),
+    st.integers(1, 32),
+)
+def test_pack_buckets_properties(bucket_rows, budget, max_groups):
+    """Feasible packs partition ALL buckets with every bin under budget;
+    infeasibility only when a bucket alone exceeds budget or the pack
+    needs more bins than allowed."""
+    plan = _pack_buckets(bucket_rows, budget, max_groups)
+    if plan is None:
+        assert (
+            any(v > budget for v in bucket_rows.values())
+            or len(bucket_rows) > 0  # or needed more bins than max_groups
+        )
+        # when every bucket fits, infeasibility must be the bin count:
+        if all(v <= budget for v in bucket_rows.values()):
+            # FFD never uses more bins than items
+            assert max_groups < len(bucket_rows)
+        return
+    flat = [b for grp in plan for b in grp]
+    assert sorted(flat) == sorted(bucket_rows)  # exact partition
+    assert len(plan) <= max_groups
+    for grp in plan:
+        assert sum(bucket_rows[b] for b in grp) <= budget
