@@ -161,6 +161,9 @@ CONFIG_SCHEMA = {
                 "compact_every": {"type": "integer", "minimum": 0},
                 "expire_keep": {"type": "integer", "minimum": 1},
                 "tombstone_lag": {"type": "integer", "minimum": 0},
+                "key_block_prefix": {"type": "integer", "minimum": 0},
+                "file_block_prefix": {"type": "integer", "minimum": 0},
+                "neardup_index": {"type": "boolean"},
             },
         },
         "sink": {"type": "object"},
@@ -194,5 +197,8 @@ def load_config(path: str) -> tuple["EngineConfig", dict]:
         compact_every=ap.get("compact_every", 0),
         expire_keep=ap.get("expire_keep", 8),
         tombstone_lag=ap.get("tombstone_lag", 1_000_000),
+        key_block_prefix=ap.get("key_block_prefix", 4),
+        file_block_prefix=ap.get("file_block_prefix", 0),
+        neardup_index=ap.get("neardup_index", False),
     )
     return cfg, doc

@@ -279,3 +279,25 @@ def test_stream_message_roundtrip_through_kafka_seam(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+def test_yaml_round4_apply_knobs(tmp_path):
+    """Round-4 knobs are YAML-settable: batch/file key blocking + the
+    streaming near-dup index."""
+    import yaml
+
+    from cdc_spark.config import load_config
+
+    doc = {
+        "version": 1,
+        "source": {"backend": "file-segments", "path": "/tmp/x"},
+        "lake": {"root": "/tmp/l", "checkpoint": "/tmp/c"},
+        "apply": {"key_block_prefix": 6, "file_block_prefix": 4,
+                  "neardup_index": True},
+    }
+    p = tmp_path / "cfg.yml"
+    p.write_text(yaml.safe_dump(doc))
+    cfg, _ = load_config(str(p))
+    assert cfg.key_block_prefix == 6
+    assert cfg.file_block_prefix == 4
+    assert cfg.neardup_index is True
