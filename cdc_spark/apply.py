@@ -374,7 +374,8 @@ class CdcApply:
             self._write_metrics(table, batch_id, bstats, info, t0)
             if self.cfg.neardup_index and not info.get("skipped"):
                 self._update_neardup_index(
-                    table, deduped, ctrl["lsn_hwm"], batch_id
+                    table, deduped, ctrl["lsn_hwm"], batch_id,
+                    truncated=t_new is not None,
                 )
         finally:
             deduped.unpersist()
@@ -383,7 +384,8 @@ class CdcApply:
         return info
 
     def _update_neardup_index(
-        self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int
+        self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int,
+        truncated: bool = False,
     ) -> None:
         """Streaming near-dup screening — the composition of the engine's
         two halves the north rule describes: the CDC batch that just
@@ -393,11 +395,13 @@ class CdcApply:
         batch changed, never the corpus. Each batch's candidate pairs are
         appended to a queryable ``_neardups`` table keyed by batch.
 
-        Invariant (tested): after any batch sequence the index's live
-        bands equal ``minhash_bands`` recomputed over the lake's live
-        content — updates LWW-replace, deletes tombstone. Known limit: a
-        table TRUNCATE does not cascade here (the index is per-row; a
-        truncate warrants an index rebuild), documented not silent."""
+        Invariant (tested): after any batch sequence — including a table
+        TRUNCATE — the index's live bands equal ``minhash_bands``
+        recomputed over the lake's live content: updates LWW-replace,
+        deletes tombstone, and a truncate batch triggers
+        :meth:`MinHashIndex.rebuild` from the post-merge lake state (a
+        truncate kills rows the batch never names, so the row-by-row
+        update cannot express it; the rebuild batch appends no pairs)."""
         from .functions.dedupe_index import MinHashIndex
 
         root = os.path.join(self.cfg.lake_root, "_neardup_index", table)
@@ -406,6 +410,16 @@ class CdcApply:
             idx = self._neardup_idx[table] = MinHashIndex(
                 self.spark, root, n_buckets=self.cfg.n_buckets
             )
+        if truncated:
+            live = self.lake_for(table).refresh().read()
+            docs = live.select(
+                F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias(
+                    "doc_id"
+                ),
+                F.col("content").alias("text"),
+            )
+            idx.rebuild(docs, lsn=lsn_hwm, batch_id=batch_id)
+            return
         docs = deduped.select(
             F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias("doc_id"),
             F.col("content").alias("text"),

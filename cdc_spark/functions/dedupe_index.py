@@ -23,6 +23,9 @@ already-emitted candidate is not retractable from a streaming pipeline.
 Updates and deletes: a changed document's new bands REPLACE its old ones
 (LWW on (doc_id, band) by LSN), and a deleted document tombstones all its
 bands, so neither stale fingerprints nor dead docs generate future pairs.
+A corpus TRUNCATE — the one change no per-row batch can express — has the
+:meth:`MinHashIndex.rebuild` path: one merge carrying the new corpus'
+bands plus a truncate watermark that kills every older index row in O(1).
 """
 
 from __future__ import annotations
@@ -161,6 +164,28 @@ class MinHashIndex:
             )
             .distinct()
         )
+
+    def rebuild(self, docs: DataFrame, lsn: int, batch_id: int) -> None:
+        """Full re-index — the recovery path after a table TRUNCATE (the
+        one corpus change ``update`` cannot express row-by-row). One merge
+        publishes the new corpus' bands together with a truncate watermark
+        at ``lsn - 1``: every older index row dies logically in O(1) (the
+        lake's truncate semantics), physical space is reclaimed by normal
+        lake maintenance, and the index is exactly the new corpus' bands.
+        Idempotent per ``batch_id`` like any lake commit."""
+        new_bands = minhash_bands(
+            docs.select("doc_id", "text"), self.k, self.n_bands
+        )
+        batch = new_bands.select(
+            "doc_id", "band", "bkey",
+            F.lit(lsn).cast("long").alias("_lsn"),
+            F.lit(False).alias("_deleted"),
+            F.lit(None).cast("map<string,string>").alias("_extra"),
+        )
+        self.lake.merge(
+            batch, batch_id=batch_id, lsn_hwm=lsn, new_truncate_lsn=lsn - 1
+        )
+        self.lake.refresh()
 
 
 def q_minhash_incremental(spark, sf_dir):

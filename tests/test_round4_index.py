@@ -132,8 +132,10 @@ def test_streaming_neardup_index_tracks_lake(spark, tmpdir_factory_clean):
         neardup_index=True,
     )
     applier = CdcApply(spark, cfg)
+    # batch 2 carries a TRUNCATE: the index must rebuild from the lake's
+    # post-merge live state (the one change row-by-row update can't see)
     log = change_log(spark, 1200, n_repos=12, n_paths=4, delete_rate=0.15,
-                     dup_rate=0.03, seed=31)
+                     dup_rate=0.03, truncate_lsns=(900,), seed=31)
     for i, (lo, hi) in enumerate([(0, 400), (400, 800), (800, 1201)]):
         applier.apply_batch(
             log.filter((F.col("lsn") > lo) & (F.col("lsn") <= hi)), i
