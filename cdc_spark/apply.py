@@ -372,7 +372,11 @@ class CdcApply:
                 },
             )
             self._write_metrics(table, batch_id, bstats, info, t0)
-            if self.cfg.neardup_index and not info.get("skipped"):
+            if self.cfg.neardup_index:
+                # run even when the LAKE merge was a skipped replay: a
+                # crash between lake commit and index update would
+                # otherwise desync the index forever — the index's OWN
+                # idempotent commit (per batch_id) dedupes true replays
                 self._update_neardup_index(
                     table, deduped, ctrl["lsn_hwm"], batch_id,
                     truncated=t_new is not None,
@@ -412,6 +416,8 @@ class CdcApply:
             )
         if truncated:
             live = self.lake_for(table).refresh().read()
+            if "content" not in live.columns:
+                return  # see the drop-guard below
             docs = live.select(
                 F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias(
                     "doc_id"
@@ -420,12 +426,20 @@ class CdcApply:
             )
             idx.rebuild(docs, lsn=lsn_hwm, batch_id=batch_id)
             return
+        if "content" not in deduped.columns:
+            # schema evolution may legally drop/retype non-key columns;
+            # without content there is no document to fingerprint — skip
+            # deterministically rather than crash-loop the stream (same
+            # poison-tolerance policy as control-event handling)
+            return
         docs = deduped.select(
             F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias("doc_id"),
-            F.col("content").alias("text"),
+            F.col("content").cast("string").alias("text"),
             "_deleted",
         )
         pairs = idx.update(docs, lsn=lsn_hwm, batch_id=batch_id)
+        if pairs is None:
+            return  # index had already applied this batch (replay)
         out = os.path.join(self.cfg.lake_root, "_neardups", table)
         (
             pairs.withColumn("batch_id", F.lit(batch_id))
@@ -451,6 +465,19 @@ class CdcApply:
                 tombstone_watermark_lsn=max(-1, hwm - self.cfg.tombstone_lag)
             )
             lake.expire_snapshots(keep_last=self.cfg.expire_keep)
+            # the near-dup band index is a lake too: without maintenance
+            # it accumulates one manifest per batch and every pre-truncate
+            # dead band file forever
+            idx = self._neardup_idx.get(t)
+            if idx is not None:
+                ilake = idx.lake.refresh()
+                ihwm = ilake.last_batch["lsn_hwm"]
+                ilake.compact(
+                    tombstone_watermark_lsn=max(
+                        -1, ihwm - self.cfg.tombstone_lag
+                    )
+                )
+                ilake.expire_snapshots(keep_last=self.cfg.expire_keep)
 
     # -------------------------------------------------------------- metrics
     def _write_metrics(

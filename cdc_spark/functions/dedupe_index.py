@@ -92,7 +92,7 @@ class MinHashIndex:
 
     def update(
         self, docs: DataFrame, lsn: int, batch_id: int
-    ) -> DataFrame:
+    ) -> DataFrame | None:
         """Apply one batch of corpus changes and return its candidate
         pairs.
 
@@ -108,7 +108,9 @@ class MinHashIndex:
            in one join — with the MAX_BAND_DOCS occupancy cap evaluated
            against CURRENT index occupancy.
 
-        Returns (doc_a, doc_b) with doc_a < doc_b, distinct.
+        Returns (doc_a, doc_b) with doc_a < doc_b, distinct — or ``None``
+        when the index had ALREADY applied this batch_id (idempotent
+        replay): the caller must not re-append pairs it already emitted.
         """
         has_del = "_deleted" in docs.columns
         live = docs.filter(~F.col("_deleted")) if has_del else docs
@@ -142,8 +144,10 @@ class MinHashIndex:
                 )
             )
             batch = batch.unionByName(dead)
-        self.lake.merge(batch, batch_id=batch_id, lsn_hwm=lsn)
+        info = self.lake.merge(batch, batch_id=batch_id, lsn_hwm=lsn)
         self.lake.refresh()
+        if info.get("skipped"):
+            return None  # replayed batch: pairs were already emitted
         idx = self.bands()
         ok = (
             idx.groupBy("band", "bkey")

@@ -450,9 +450,18 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
 
     def __setstate__(self, state: dict) -> None:
         self.__dict__.update(state)
-        self._wire = connect_wire(self._wire_url)
-        self._cursor = self._wire.start_replication(self._slot)
+        # LAZY wire rebuild: a logical slot admits ONE active consumer, so
+        # the unpickled worker-side copy must not open a second stream
+        # while the driver-side reader still holds its own — connect only
+        # when this copy is actually asked to read
+        self._wire = None
+        self._cursor = None
         self._start_keepalive_thread()
+
+    def _ensure_wire(self) -> None:
+        if self._wire is None:
+            self._wire = connect_wire(self._wire_url)
+            self._cursor = self._wire.start_replication(self._slot)
 
     def _feedback(self, **kwargs) -> None:
         """All slot feedback (data positions AND empty keepalives) goes
@@ -467,6 +476,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         cursor cached by the reader would be closed after the first
         ``read``."""
         with self._fb_lock:
+            self._ensure_wire()
             self._wire.send_feedback(self._slot, **kwargs)
             self._last_keepalive = time.monotonic()
 
@@ -478,12 +488,18 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
     def _keepalive_loop(self) -> None:
         failures = 0
         while not self._ka_stop.wait(max(min(self._keepalive_s, 1.0) / 2, 0.01)):
+            if self._wire is None:
+                continue  # unpickled worker copy: no stream to feed yet
             if time.monotonic() - self._last_keepalive >= self._keepalive_s:
                 try:
                     self._feedback()  # empty = standby keepalive
                     failures = 0
                 except Exception:
                     failures += 1
+                    # retry once per keepalive INTERVAL, not per tick —
+                    # the clock reset makes _KA_MAX_FAILURES mean "60
+                    # intervals of outage", not ~30 seconds of ticks
+                    self._last_keepalive = time.monotonic()
                     if failures >= self._KA_MAX_FAILURES:
                         return  # wire gone for good; stop spinning
 
@@ -493,41 +509,51 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
     def initialOffset(self) -> dict:
         """First-ever start: begin at the slot's restart LSN (a slot created
         just now starts at -1 = everything retained)."""
-        return {"lsn": self._wire.restart_lsn(self._slot)}
+        with self._fb_lock:
+            self._ensure_wire()
+            return {"lsn": self._wire.restart_lsn(self._slot)}
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         rows: list[tuple[int, str]] = []
         hwm = start["lsn"]
-        # connection recycle (psycopg2 wire) must not race a concurrent
-        # keepalive's send_feedback — same lock as all feedback
+        # the WHOLE drain holds the feedback lock: the replication cursor
+        # is not thread-safe, and a concurrent keepalive mid-drain would
+        # interleave send_feedback with read_message on the same cursor.
+        # Keepalives pause while data is flowing — which is also when the
+        # walsender least needs them — and the write-position feedback at
+        # the end resets the keepalive clock.
         with self._fb_lock:
+            self._ensure_wire()
             cur = self._wire.start_replication(self._slot, start_lsn=hwm)
-        while len(rows) < self._max_events:
-            msg = cur.read_message()
-            if msg is None:
-                break
-            rows.append(msg)
-            hwm = msg[0]
-        if rows:
-            # write position advances with the read; the FLUSH position
-            # only advances in commit() (reference sources/__init__.py:82-106)
-            self._feedback(write_lsn=hwm)
+            while len(rows) < self._max_events:
+                msg = cur.read_message()
+                if msg is None:
+                    break
+                rows.append(msg)
+                hwm = msg[0]
+            if rows:
+                # write position advances with the read; the FLUSH
+                # position only advances in commit()
+                # (reference sources/__init__.py:82-106)
+                self._wire.send_feedback(self._slot, write_lsn=hwm)
+            self._last_keepalive = time.monotonic()
         return iter(rows), {"lsn": hwm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
         """Deterministic replay of a planned-but-uncommitted batch after a
         crash: the WAL in (start, end] is still retained because the slot
         only flushed through ``commit``."""
+        out = []
         with self._fb_lock:
+            self._ensure_wire()
             cur = self._wire.start_replication(
                 self._slot, start_lsn=start["lsn"]
             )
-        out = []
-        while True:
-            msg = cur.read_message()
-            if msg is None or msg[0] > end["lsn"]:
-                break
-            out.append(msg)
+            while True:
+                msg = cur.read_message()
+                if msg is None or msg[0] > end["lsn"]:
+                    break
+                out.append(msg)
         return iter(out)
 
     def commit(self, end: dict) -> None:

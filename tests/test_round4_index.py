@@ -159,3 +159,46 @@ def test_streaming_neardup_index_tracks_lake(spark, tmpdir_factory_clean):
     nd = spark.read.parquet(os.path.join(root, "_neardups", "repos"))
     assert set(nd.columns) == {"doc_a", "doc_b", "batch_id"}
     assert nd.count() >= 0  # readable; content depends on corpus
+
+
+def test_index_catches_up_after_crash_between_commits(
+    spark, tmpdir_factory_clean
+):
+    """Crash window: lake commit succeeded, index update did not. On
+    replay the LAKE merge skips but the index update must still run (its
+    own commit is idempotent), restoring the tracking invariant — and a
+    plain duplicate replay must not duplicate _neardups pairs."""
+    import shutil
+
+    from cdc_spark.apply import CdcApply
+    from cdc_spark.config import EngineConfig
+    from cdc_spark.loggen import change_log
+
+    root = tmpdir_factory_clean("ndcrash")
+    cfg = EngineConfig(
+        lake_root=root, checkpoint=os.path.join(root, "_ckpt"), n_buckets=2,
+        neardup_index=True,
+    )
+    applier = CdcApply(spark, cfg)
+    log = change_log(spark, 300, n_repos=8, n_paths=3, seed=5)
+    applier.apply_batch(log, 0)
+    nd_dir = os.path.join(root, "_neardups", "repos")
+    n_pairs = spark.read.parquet(nd_dir).count()
+    # duplicate replay: lake skips, index skips, pairs NOT re-appended
+    applier.apply_batch(log, 0)
+    assert spark.read.parquet(nd_dir).count() == n_pairs
+    # crash simulation: the index never saw batch 0 (wipe it), lake did
+    shutil.rmtree(os.path.join(root, "_neardup_index"))
+    applier2 = CdcApply(spark, cfg)  # fresh process
+    applier2.apply_batch(log, 0)  # replay: lake skips, index catches up
+    idx = MinHashIndex(spark, os.path.join(root, "_neardup_index", "repos"))
+    live = applier2.lake_for("repos").read().select(
+        F.xxhash64("repo", "path").alias("doc_id"),
+        F.col("content").alias("text"),
+    )
+    want = {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in minhash_bands(live, K_MINHASH, BANDS).collect()
+    }
+    got = {(r["doc_id"], r["band"], r["bkey"]) for r in idx.bands().collect()}
+    assert got == want and len(want) > 0

@@ -386,14 +386,13 @@ def test_pack_buckets_properties(bucket_rows, budget, max_groups):
     needs more bins than allowed."""
     plan = _pack_buckets(bucket_rows, budget, max_groups)
     if plan is None:
-        assert (
-            any(v > budget for v in bucket_rows.values())
-            or len(bucket_rows) > 0  # or needed more bins than max_groups
+        # infeasibility has exactly two legal causes: a single bucket over
+        # budget, or (all fit but) more bins needed than allowed — and FFD
+        # never uses more bins than items, so the bin-count cause implies
+        # max_groups < len(bucket_rows)
+        assert any(v > budget for v in bucket_rows.values()) or (
+            max_groups < len(bucket_rows)
         )
-        # when every bucket fits, infeasibility must be the bin count:
-        if all(v <= budget for v in bucket_rows.values()):
-            # FFD never uses more bins than items
-            assert max_groups < len(bucket_rows)
         return
     flat = [b for grp in plan for b in grp]
     assert sorted(flat) == sorted(bucket_rows)  # exact partition
