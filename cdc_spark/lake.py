@@ -759,10 +759,14 @@ class LakeTable:
           broadcast; every chunk runs the join strategy against only its
           own buckets' files and the chunks union into one write — lake
           bytes STILL never cross an exchange.
+        - ``mixed`` (chunkable batch with individually-over-budget hot
+          buckets): the small buckets run chunked joins, ONLY the hot
+          buckets take the agg shuffle — the lake exchange is bounded by
+          the genuinely hot buckets, not every touched one.
         - ``agg`` (fallback for huge batches): union old+batch, per-key
           max_by reduce (partial-aggregated), repartition by bucket.
-          Shuffles touched lake rows; used when the batch itself is too
-          large even for chunking.
+          Shuffles touched lake rows; used when no bucket stats exist or
+          the chunk count would exceed ``chunk_max_groups``.
 
         ``batch_rows`` / ``bucket_batch_rows`` (when known, e.g. from the
         caller's lineage job) pick the strategy automatically.
@@ -822,28 +826,48 @@ class LakeTable:
                     r[0] for r in b.select("_bucket").distinct().collect()
                 )
         chunk_plan = None
+        agg_buckets: list = []
+
+        def _plan_over_budget() -> str:
+            """Pick between chunked / mixed / agg for an over-budget batch:
+            join-chunk every bucket that fits the broadcast budget, and
+            shuffle (agg) ONLY the buckets that are individually too hot —
+            the lake exchange is then bounded by the genuinely hot buckets
+            instead of every touched one."""
+            nonlocal chunk_plan, agg_buckets
+            if not bucket_batch_rows:
+                return "agg"
+            small = {
+                k: v for k, v in bucket_batch_rows.items()
+                if v <= self.broadcast_max_rows
+            }
+            if not small:  # every bucket is hot: plain agg over all
+                return "agg"
+            agg_buckets = sorted(
+                k for k, v in bucket_batch_rows.items()
+                if v > self.broadcast_max_rows
+            )
+            chunk_plan = _pack_buckets(
+                small, self.broadcast_max_rows, self.chunk_max_groups
+            )
+            if chunk_plan is None:  # too many chunks: plan-size guard
+                agg_buckets = []
+                return "agg"
+            if agg_buckets:
+                return "mixed"
+            return "chunked"
+
         if strategy is None:
             if batch_rows is None or batch_rows <= self.broadcast_max_rows:
                 strategy = "join"
             else:
-                if bucket_batch_rows:
-                    chunk_plan = _pack_buckets(
-                        bucket_batch_rows,
-                        self.broadcast_max_rows,
-                        self.chunk_max_groups,
-                    )
-                strategy = "chunked" if chunk_plan else "agg"
-        elif strategy == "chunked":
+                strategy = _plan_over_budget()
+        elif strategy in ("chunked", "mixed"):
             if not bucket_batch_rows:
                 raise ValueError(
-                    "strategy='chunked' needs bucket_batch_rows"
+                    f"strategy={strategy!r} needs bucket_batch_rows"
                 )
-            chunk_plan = _pack_buckets(
-                bucket_batch_rows, self.broadcast_max_rows,
-                self.chunk_max_groups,
-            )
-            if chunk_plan is None:
-                strategy = "agg"  # infeasible: one bucket over budget
+            strategy = _plan_over_budget()
         if affected:
             touched = [f for f in cur["files"] if f["bucket"] in affected]
             untouched = [f for f in cur["files"] if f["bucket"] not in affected]
@@ -922,12 +946,30 @@ class LakeTable:
                     keep_batch.repartition(max(n_parts, 1), "_bucket")
                 ).sortWithinPartitions("_bucket", *key)
 
-            if strategy == "chunked" and chunk_plan is not None:
-                # one broadcast join per broadcastable bucket chunk; the
-                # chunks union into a single write + commit, and lake rows
-                # still never cross an exchange
+            def _agg_merge(o, bb, n_parts):
+                m = o.unionByName(bb) if o is not None else bb
+                payload = [c for c in m.columns if c not in key]
+                return (
+                    m.groupBy(*key)
+                    .agg(
+                        F.max_by(
+                            F.struct(*payload), F.col("_lsn")
+                        ).alias("_s")
+                    )
+                    .select(*key, F.col("_s.*"))
+                    .repartition(max(n_parts, 1), "_bucket")
+                    .sortWithinPartitions("_bucket", *key)
+                )
+
+            if strategy in ("chunked", "mixed") and chunk_plan is not None:
+                # one broadcast join per broadcastable bucket chunk; under
+                # 'mixed' the individually-over-budget buckets get their
+                # own agg (shuffle bounded to the hot buckets); everything
+                # unions into a single write + commit, and the join-side
+                # lake rows still never cross an exchange
                 merged = None
                 planned = {bkt for grp in chunk_plan for bkt in grp}
+                planned |= set(agg_buckets)
                 groups = list(chunk_plan)
                 for bkt in affected:
                     if bkt not in planned:  # caller stats missed a bucket
@@ -948,6 +990,15 @@ class LakeTable:
                     merged = (
                         part if merged is None else merged.unionByName(part)
                     )
+                if agg_buckets:
+                    b_a = b.filter(F.col("_bucket").isin(agg_buckets))
+                    old_a = _load_old(
+                        [f for f in touched if f["bucket"] in set(agg_buckets)]
+                    )
+                    part = _agg_merge(old_a, b_a, len(agg_buckets))
+                    merged = (
+                        part if merged is None else merged.unionByName(part)
+                    )
             else:
                 old = _load_old(touched)
                 if old is None:
@@ -957,22 +1008,10 @@ class LakeTable:
                 elif strategy == "join":
                     merged = _join_merge(old, b, len(affected))
                 else:
-                    merged = old.unionByName(b)
-                    payload = [c for c in merged.columns if c not in key]
                     # partial aggregation collapses per-key map-side before
                     # the single shuffle; sortWithinPartitions gives
                     # key-sorted files
-                    merged = (
-                        merged.groupBy(*key)
-                        .agg(
-                            F.max_by(
-                                F.struct(*payload), F.col("_lsn")
-                            ).alias("_s")
-                        )
-                        .select(*key, F.col("_s.*"))
-                        .repartition(max(len(affected), 1), "_bucket")
-                        .sortWithinPartitions("_bucket", *key)
-                    )
+                    merged = _agg_merge(old, b, len(affected))
             # per-attempt unique staging dir: a writer that loses the manifest
             # race must leave only orphan files, never clobber the winner's
             # already-published data (its files are GC'd by expire_snapshots)
@@ -1017,6 +1056,7 @@ class LakeTable:
             "files_written": rewritten,
             "strategy": strategy if affected else None,
             "chunks": len(chunk_plan) if chunk_plan else None,
+            "agg_buckets": len(agg_buckets) if agg_buckets else None,
         }
 
     # ----------------------------------------------------------- compaction

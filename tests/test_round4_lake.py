@@ -399,3 +399,57 @@ def test_pack_buckets_properties(bucket_rows, budget, max_groups):
     assert len(plan) <= max_groups
     for grp in plan:
         assert sum(bucket_rows[b] for b in grp) <= budget
+
+
+def test_mixed_strategy_aggs_only_hot_buckets(spark, tmpdir_factory_clean):
+    """A batch with one individually-over-budget bucket and several small
+    ones takes the MIXED strategy (chunked joins + agg for just the hot
+    bucket) and produces the same state as a pure join run."""
+    from cdc_spark.lake import bucket_expr
+
+    root = tmpdir_factory_clean("mixed")
+    keys = [f"repo-{i:03d}" for i in range(60)]
+    # real bucket of each key (the merge's own hash)
+    bdf = spark.createDataFrame([(k, "src/main.py") for k in keys],
+                                "repo STRING, path STRING")
+    rows = bdf.select(
+        "repo", bucket_expr(("repo", "path"), 4).alias("b")
+    ).collect()
+    by_bucket = {}
+    for r in rows:
+        by_bucket.setdefault(r["b"], []).append(r["repo"])
+    counts = {b: len(ks) for b, ks in by_bucket.items()}
+    hot = max(counts, key=counts.get)
+    budget = counts[hot] - 1
+    assert any(v <= budget for b, v in counts.items() if b != hot)
+
+    def _build(strategy_budget):
+        r = tmpdir_factory_clean(f"mx{strategy_budget}")
+        lake = LakeTable.create(
+            spark, os.path.join(r, "t"), fields=list(BASE_FIELDS),
+            n_buckets=4,
+        )
+        lake.merge(_mk_batch(spark, keys[::2], 100), batch_id=0,
+                   lsn_hwm=200, batch_rows=len(keys[::2]))
+        lake.broadcast_max_rows = strategy_budget
+        info = lake.merge(
+            _mk_batch(spark, keys, 300), batch_id=1, lsn_hwm=400,
+            batch_rows=len(keys), bucket_batch_rows=counts,
+        )
+        return lake, info
+
+    lake_m, info_m = _build(budget)
+    assert info_m["strategy"] == "mixed"
+    assert info_m["agg_buckets"] == sum(
+        1 for v in counts.values() if v > budget
+    )
+    assert info_m["chunks"] and info_m["chunks"] >= 1
+    lake_j, info_j = _build(10_000_000)
+    assert info_j["strategy"] == "join"
+    import pandas as pd
+
+    a = lake_m.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    b = lake_j.read().toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # LWW invariant held through the mixed write
+    assert lake_m.read().count() == len(keys)
