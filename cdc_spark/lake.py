@@ -385,6 +385,12 @@ class LakeTable:
     #: back to bucket-chunked joins and, past the chunk budget, to the
     #: shuffle 'agg' strategy (a broadcast must fit executor mem)
     broadcast_max_rows = 5_000_000
+    #: range shards per 'append' (merge-on-read) delta commit: each shard is
+    #: one key-sorted file with tight footer ranges, so later point-set
+    #: reads (``files_for_key_values``) skip deltas that cannot contain the
+    #: probed keys. Size to ~cluster write parallelism in production; small
+    #: here so per-batch file count stays bounded between compactions.
+    append_shards = 4
     #: chunked-join budget: the batch may exceed broadcast_max_rows by up
     #: to this factor if its buckets bin-pack into at most this many
     #: broadcastable chunks (each chunk = its own broadcast join; the plan
@@ -415,13 +421,24 @@ class LakeTable:
         key: tuple[str, ...] = ("repo", "path"),
         n_buckets: int = 16,
         table: str = "repos",
+        merge_on_read: bool = False,
     ) -> "LakeTable":
+        """``merge_on_read=True`` creates an MOR table: commits are O(batch)
+        appends of key-range-sharded delta files (``strategy='append'``) and
+        the LWW winner per key is resolved at READ time (``_lww_resolve``);
+        ``compact()`` folds the deltas back to one row per key. This is the
+        layout for uniformly-hashed keys (e.g. fingerprint indexes), where a
+        copy-on-write merge can never skip files — every batch's key set
+        intersects every file's range — so COW write amplification would be
+        O(table) per batch. MOR files carry bucket = -1 (range-sharded, not
+        hash-bucketed); point reads prune on footer key ranges alone."""
         os.makedirs(os.path.join(root, "metadata"), exist_ok=True)
         meta = {
             "version": 0,
             "table": table,
             "key": list(key),
             "n_buckets": n_buckets,
+            "merge_on_read": bool(merge_on_read),
             "schema_id": 0,
             "schemas": [{"schema_id": 0, "fields": [list(f) for f in fields]}],
             "schema_changes": [],
@@ -573,10 +590,43 @@ class LakeTable:
         with open(os.path.join(self.root, "metadata", f"v{version}.json")) as fh:
             return json.load(fh)
 
+    def _lww_resolve(self, df: DataFrame) -> DataFrame:
+        """Per-key LWW winner for merge-on-read tables: deltas appended by
+        ``strategy='append'`` can carry several rows per key across files;
+        the visible row is the max-LSN one (the same max_by reduce the COW
+        'agg' merge strategy uses at write time). Partial-aggregated, so
+        the shuffle carries one row per key per map partition."""
+        payload = [c for c in df.columns if c not in self.key]
+        return (
+            df.groupBy(*[F.col(f"`{k}`") for k in self.key])
+            .agg(
+                F.max_by(
+                    F.struct(*[F.col(f"`{c}`") for c in payload]),
+                    F.col("_lsn"),
+                ).alias("_s")
+            )
+            .select(*[f"`{k}`" for k in self.key], "_s.*")
+        )
+
+    def resolve_live(
+        self, df: DataFrame, truncate_lsn: int | None = None
+    ) -> DataFrame:
+        """Apply the table's visibility rule to raw (+META) rows: truncate
+        watermark, LWW resolve (merge-on-read tables only), tombstone drop.
+        Callers that pre-filter a ``scan_for_keys`` frame MUST filter by
+        whole keys or key PREFIXES only — a predicate that split a key's
+        rows across the filter would corrupt the LWW resolve."""
+        t = self.truncate_lsn if truncate_lsn is None else truncate_lsn
+        df = df.filter(F.col("_lsn") > F.lit(t))
+        if self._meta.get("merge_on_read"):
+            df = self._lww_resolve(df)
+        return df.filter(~F.col("_deleted"))
+
     def _live_view(self, files: list[dict]) -> DataFrame:
         """The table's ONE visibility rule — project ``files`` to the
-        current schema and drop tombstones + truncated rows. Shared by
-        ``read`` and ``lookup`` so the predicate can never drift."""
+        current schema, resolve LWW winners (merge-on-read tables), and
+        drop tombstones + truncated rows. Shared by ``read`` and ``lookup``
+        so the predicate can never drift."""
         fields = self.schema_fields()
         df = self._read_files(files, fields, changes=self._parsed_changes())
         if df is None:
@@ -584,9 +634,7 @@ class LakeTable:
                 f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
             )
             df = self.spark.createDataFrame([], ddl)
-        return df.filter(
-            (~F.col("_deleted")) & (F.col("_lsn") > F.lit(self.truncate_lsn))
-        )
+        return self.resolve_live(df)
 
     def read(self, include_meta: bool = False, version: int | None = None) -> DataFrame:
         """Live view: tombstones and truncated rows filtered out. Pass
@@ -627,7 +675,10 @@ class LakeTable:
         k1 = kv[0]
         out = []
         for f in self._meta["files"]:
-            if f["bucket"] != bucket:
+            # bucket -1 = a range-sharded merge-on-read file (append delta
+            # or MOR compaction output): not hash-bucketed, can hold any
+            # key — prune it by range only
+            if f["bucket"] not in (bucket, -1):
                 continue
             ranges = _file_ranges(f)
             try:
@@ -639,6 +690,68 @@ class LakeTable:
                 pass  # mixed-type stats: keep the file
             out.append(f)
         return out
+
+    def files_for_key_values(self, values) -> list[dict]:
+        """Manifest files whose first-key-column footer ranges can contain
+        ANY of ``values`` — the point-SET analog of ``_files_for_key``:
+        driver-side interval-vs-sorted-list intersection over file metadata,
+        no scan, no job. Files without stats are always kept (pruning may
+        only skip provably irrelevant files); ``values=None`` disables
+        pruning (all files — the over-cap fallback)."""
+        import bisect
+
+        if values is None:
+            return list(self._meta["files"])
+        vals = sorted(v for v in set(values) if v is not None)
+        out = []
+        for f in self._meta["files"]:
+            ranges = _file_ranges(f)
+            if ranges is None or not vals:
+                if ranges is None:
+                    out.append(f)
+                continue
+            try:
+                for lo, hi in ranges:
+                    i = bisect.bisect_left(vals, lo)
+                    if i < len(vals) and vals[i] <= hi:
+                        out.append(f)
+                        break
+            except TypeError:  # mixed-type stats vs values: keep the file
+                out.append(f)
+        return out
+
+    def scan_for_keys(
+        self, values, version: int | None = None
+    ) -> DataFrame:
+        """RAW projected rows (+META — no LWW resolve, no live filter) read
+        from ONLY the files that can contain any of the first-key-column
+        ``values``. The caller narrows to its exact keys (whole keys or key
+        prefixes), then applies :meth:`resolve_live` — together an
+        O(probed-keys x file-size) point-set read instead of an O(table)
+        scan, the shape that keeps per-batch index lookups flat as the
+        table grows 100x. ``version`` reads an older retained snapshot
+        (e.g. the pre-batch state during a crash replay). Records
+        ``last_scan_stats = {files_total, files_read}`` for IO assertions."""
+        meta = self._meta if version is None else self._load_version(version)
+        saved, self._meta = self._meta, meta
+        try:
+            files = self.files_for_key_values(values)
+            self.last_scan_stats = {
+                "files_total": len(meta["files"]),
+                "files_read": len(files),
+            }
+            fields = self.schema_fields()
+            df = self._read_files(
+                files, fields, changes=self._parsed_changes()
+            )
+            if df is None:
+                ddl = ", ".join(
+                    f"`{n}` {sql_type(t)}" for n, t in fields + META_FIELDS
+                )
+                df = self.spark.createDataFrame([], ddl)
+            return df
+        finally:
+            self._meta = saved
 
     def lookup(self, key_value: tuple) -> DataFrame:
         """Point lookup for one key: scans ONLY the files whose bucket and
@@ -811,8 +924,37 @@ class LakeTable:
         change_lsn = max((int(l) for l, _ in history), default=-1)
         files: list[dict] = []
         rewritten, affected = 0, []
+        appended = False
 
-        if batch_df is not None:
+        mor = bool(cur.get("merge_on_read"))
+        if strategy is None and mor:
+            strategy = "append"
+        if batch_df is not None and (strategy == "append") != mor:
+            # COW strategies assume one stored row per key (their old-file
+            # reads don't LWW-resolve), and appends on a COW table would
+            # silently break that invariant the other way round
+            raise ValueError(
+                f"strategy='append' is exactly the merge-on-read commit "
+                f"path (table merge_on_read={mor}, got {strategy!r})"
+            )
+        if batch_df is not None and strategy == "append":
+            # O(batch) delta commit: no old file is read or rewritten. The
+            # batch is key-range sharded + key-sorted so each delta file's
+            # footer ranges are tight — later point-set reads skip deltas
+            # whose range misses the probed keys. bucket -1 = "not
+            # hash-bucketed" (see _files_for_key / files_for_key_values).
+            b = batch_df.withColumn("_bucket", F.lit(-1).cast("int"))
+            merged = b.repartitionByRange(
+                max(1, int(self.append_shards)), F.col(self.key[0])
+            ).sortWithinPartitions(*self.key)
+            data_rel = f"data/v{new_version}-{uuid.uuid4().hex[:8]}"
+            out_dir = os.path.join(self.root, data_rel)
+            self._write_data(merged, out_dir)
+            files = self._stat_written(out_dir, schema_id, change_lsn)
+            rewritten = len(files)
+            files.extend(cur["files"])
+            appended = True
+        elif batch_df is not None:
             b = batch_df.withColumn(
                 "_bucket", bucket_expr(self.key, self.n_buckets)
             )
@@ -868,7 +1010,7 @@ class LakeTable:
                     f"strategy={strategy!r} needs bucket_batch_rows"
                 )
             strategy = _plan_over_budget()
-        if affected:
+        if affected and not appended:
             touched = [f for f in cur["files"] if f["bucket"] in affected]
             untouched = [f for f in cur["files"] if f["bucket"] not in affected]
             if bucket_key_ranges:
@@ -972,8 +1114,13 @@ class LakeTable:
                 planned |= set(agg_buckets)
                 groups = list(chunk_plan)
                 for bkt in affected:
-                    if bkt not in planned:  # caller stats missed a bucket
-                        groups.append([bkt])
+                    if bkt not in planned:
+                        # caller stats missed this bucket: its batch size is
+                        # UNKNOWN, so it cannot be proven broadcastable —
+                        # route it to the agg (shuffle) group instead of
+                        # defaulting to a possibly-over-budget broadcast
+                        # join (the exact case broadcast_max_rows guards)
+                        agg_buckets.append(bkt)
                 for group in groups:
                     gset = set(group)
                     b_g = b.filter(F.col("_bucket").isin(group))
@@ -1023,7 +1170,7 @@ class LakeTable:
             )
             rewritten = len(files)
             files.extend(untouched)
-        else:
+        elif not appended:
             files = list(cur["files"])
 
         meta = {
@@ -1031,6 +1178,7 @@ class LakeTable:
             "table": cur["table"],
             "key": cur["key"],
             "n_buckets": cur["n_buckets"],
+            "merge_on_read": mor,
             "schema_id": schema_id,
             "schemas": schemas,
             "schema_changes": (
@@ -1054,7 +1202,7 @@ class LakeTable:
             "batch_id": batch_id,
             "affected_buckets": affected,
             "files_written": rewritten,
-            "strategy": strategy if affected else None,
+            "strategy": strategy if (affected or appended) else None,
             "chunks": len(chunk_plan) if chunk_plan else None,
             "agg_buckets": len(agg_buckets) if agg_buckets else None,
         }
@@ -1073,20 +1221,39 @@ class LakeTable:
         if df is None:
             return {"version": cur["version"], "compacted": 0}
         df = df.filter(F.col("_lsn") > F.lit(cur["truncate_lsn"]))
+        if cur.get("merge_on_read"):
+            # fold the append deltas: resolve BEFORE the tombstone sweep —
+            # dropping a tombstone first would resurrect an older live row
+            # for the same key still sitting in an earlier delta
+            df = self._lww_resolve(df)
         if tombstone_watermark_lsn is not None:
             df = df.filter(
                 (~F.col("_deleted")) | (F.col("_lsn") > F.lit(tombstone_watermark_lsn))
             )
-        df = df.withColumn("_bucket", bucket_expr(self.key, self.n_buckets))
         new_version = cur["version"] + 1
         data_rel = f"data/v{new_version}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, data_rel)
-        self._write_data(
-            df.repartition(self.n_buckets, "_bucket").sortWithinPartitions(
-                "_bucket", *self.key
-            ),
-            out_dir,
-        )
+        if cur.get("merge_on_read"):
+            # MOR tables stay RANGE-clustered (bucket -1): their keys are
+            # uniform hashes, so hash buckets would spread every file's
+            # footer range across the whole keyspace and point-set pruning
+            # would never skip a compacted file again
+            out = (
+                df.withColumn("_bucket", F.lit(-1).cast("int"))
+                .repartitionByRange(
+                    self.n_buckets, *[F.col(k) for k in self.key]
+                )
+                .sortWithinPartitions(*self.key)
+            )
+        else:
+            out = (
+                df.withColumn(
+                    "_bucket", bucket_expr(self.key, self.n_buckets)
+                )
+                .repartition(self.n_buckets, "_bucket")
+                .sortWithinPartitions("_bucket", *self.key)
+            )
+        self._write_data(out, out_dir)
         change_lsn = max((l for l, _ in parsed_changes), default=-1)
         files = self._stat_written(
             out_dir, cur["schema_id"], change_lsn
