@@ -100,6 +100,7 @@ class CdcApply:
         self.cfg = cfg
         self._lakes: dict[str, LakeTable] = {}
         self._neardup_idx: dict = {}
+        self._neardup_pairs: dict[str, LakeTable] = {}
 
     def lake_for(self, table: str) -> LakeTable:
         if table not in self._lakes:
@@ -387,6 +388,46 @@ class CdcApply:
                 cached_winners.unpersist()
         return info
 
+    def _neardups_lake(self, table: str) -> LakeTable:
+        """The per-table candidate-pairs table — a merge-on-read LakeTable
+        keyed (doc_a, doc_b), so pair persistence inherits idempotent
+        batch commits (exactly-once through any crash/replay), LWW dedup
+        of re-observed pairs, and normal lake maintenance."""
+        lake = self._neardup_pairs.get(table)
+        if lake is None:
+            root = os.path.join(self.cfg.lake_root, "_neardups", table)
+            if LakeTable.exists(root):
+                lake = LakeTable(self.spark, root).refresh()
+            else:
+                lake = LakeTable.create(
+                    self.spark,
+                    root,
+                    fields=[
+                        ("doc_a", "long"),
+                        ("doc_b", "long"),
+                        ("batch_id", "long"),
+                    ],
+                    key=("doc_a", "doc_b"),
+                    n_buckets=self.cfg.n_buckets,
+                    table=f"{table}_neardups",
+                    merge_on_read=True,
+                )
+            self._neardup_pairs[table] = lake
+        return lake
+
+    def neardups(self, table: str) -> DataFrame:
+        """Queryable near-dup candidate pairs for ``table``: columns
+        (doc_a, doc_b, batch_id) with doc_a < doc_b, where doc ids are
+        ``xxhash64(*key)`` of the lake rows. EXACTLY one row per pair —
+        the pairs lake's idempotent per-batch commits close the
+        crash/replay windows, and its LWW resolve collapses
+        re-observations (batch_id = the latest batch that surfaced the
+        pair) — so readers need no dropDuplicates. Pairs are advisory
+        history: they are not retracted when a document later changes or
+        dies (an emitted candidate is not retractable from a streaming
+        pipeline); join against the live lake to filter."""
+        return self._neardups_lake(table).refresh().read()
+
     def _update_neardup_index(
         self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int,
         truncated: bool = False,
@@ -394,10 +435,18 @@ class CdcApply:
         """Streaming near-dup screening — the composition of the engine's
         two halves the north rule describes: the CDC batch that just
         merged ALSO updates a persistent MinHash band index
-        (:class:`~cdc_spark.functions.dedupe_index.MinHashIndex`, itself a
-        LakeTable), so signatures are computed for exactly the rows this
-        batch changed, never the corpus. Each batch's candidate pairs are
-        appended to a queryable ``_neardups`` table keyed by batch.
+        (:class:`~cdc_spark.functions.dedupe_index.MinHashIndex`, two
+        merge-on-read LakeTables), so signatures are computed for exactly
+        the rows this batch changed and index IO touches only files
+        holding the batch's keys — never the corpus, never the whole
+        index. Each batch's candidate pairs are committed to the
+        queryable :meth:`neardups` lake under the SAME batch_id.
+
+        Exactly-once pairs: ``MinHashIndex.update`` recomputes its
+        (deterministic) pairs on replays too, and the pairs lake commit is
+        idempotent per batch_id — so a crash between the index commit and
+        the pairs commit replays into the pairs lake exactly once, and a
+        replay after both committed skips cleanly.
 
         Invariant (tested): after any batch sequence — including a table
         TRUNCATE — the index's live bands equal ``minhash_bands``
@@ -412,19 +461,39 @@ class CdcApply:
         idx = self._neardup_idx.get(table)
         if idx is None or idx.root != root:
             idx = self._neardup_idx[table] = MinHashIndex(
-                self.spark, root, n_buckets=self.cfg.n_buckets
+                self.spark, root, n_buckets=self.cfg.n_buckets,
+                corpus_hint=self.cfg.neardup_corpus_hint,
             )
+        doc_id = F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias(
+            "doc_id"
+        )
         if truncated:
-            live = self.lake_for(table).refresh().read()
+            lake = self.lake_for(table).refresh()
+            live = lake.read(include_meta=True)
             if "content" not in live.columns:
                 return  # see the drop-guard below
+            # rebuild corpus = the post-truncate live rows WITH their real
+            # LSNs, plus this batch's deletes — so a doc updated and
+            # deleted around the truncate resolves in the index exactly as
+            # in the lake (the cast matches the update path: after a
+            # retype both must fingerprint the same text)
             docs = live.select(
-                F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias(
-                    "doc_id"
-                ),
-                F.col("content").alias("text"),
+                doc_id,
+                F.col("content").cast("string").alias("text"),
+                F.col("_lsn"),
+                F.lit(False).alias("_deleted"),
+            ).unionByName(
+                deduped.filter(F.col("_deleted")).select(
+                    doc_id,
+                    F.lit(None).cast("string").alias("text"),
+                    F.col("_lsn"),
+                    F.col("_deleted"),
+                )
             )
-            idx.rebuild(docs, lsn=lsn_hwm, batch_id=batch_id)
+            idx.rebuild(
+                docs, lsn=lsn_hwm, batch_id=batch_id,
+                truncate_lsn=lake.truncate_lsn,
+            )
             return
         if "content" not in deduped.columns:
             # schema evolution may legally drop/retype non-key columns;
@@ -433,18 +502,26 @@ class CdcApply:
             # poison-tolerance policy as control-event handling)
             return
         docs = deduped.select(
-            F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias("doc_id"),
+            doc_id,
             F.col("content").cast("string").alias("text"),
             "_deleted",
+            # per-row stamp: a stale redelivery that wins its own (later)
+            # batch must lose the index's LWW resolve exactly as it loses
+            # the lake's merge
+            "_lsn",
         )
         pairs = idx.update(docs, lsn=lsn_hwm, batch_id=batch_id)
-        if pairs is None:
-            return  # index had already applied this batch (replay)
-        out = os.path.join(self.cfg.lake_root, "_neardups", table)
-        (
-            pairs.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(out)
+        self._neardups_lake(table).merge(
+            pairs.select(
+                "doc_a",
+                "doc_b",
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                F.lit(lsn_hwm).cast("long").alias("_lsn"),
+                F.lit(False).alias("_deleted"),
+                F.lit(None).cast("map<string,string>").alias("_extra"),
+            ),
+            batch_id=batch_id,
+            lsn_hwm=lsn_hwm,
         )
 
     # ---------------------------------------------------------- maintenance
@@ -465,19 +542,27 @@ class CdcApply:
                 tombstone_watermark_lsn=max(-1, hwm - self.cfg.tombstone_lag)
             )
             lake.expire_snapshots(keep_last=self.cfg.expire_keep)
-            # the near-dup band index is a lake too: without maintenance
-            # it accumulates one manifest per batch and every pre-truncate
-            # dead band file forever
+            # the near-dup band index (both its lakes) and the pairs table
+            # are lakes too: without maintenance they accumulate one
+            # manifest + one delta per batch forever — for merge-on-read
+            # tables compaction is ALSO what folds the deltas back to one
+            # row per key, keeping read-side resolve and point-set
+            # pruning costs flat
             idx = self._neardup_idx.get(t)
-            if idx is not None:
-                ilake = idx.lake.refresh()
-                ihwm = ilake.last_batch["lsn_hwm"]
-                ilake.compact(
+            aux = list(getattr(idx, "maintenance_lakes", lambda: [])()) if (
+                idx is not None
+            ) else []
+            if self.cfg.neardup_index:
+                aux.append(self._neardups_lake(t))
+            for alake in aux:
+                alake.refresh()
+                ahwm = alake.last_batch["lsn_hwm"]
+                alake.compact(
                     tombstone_watermark_lsn=max(
-                        -1, ihwm - self.cfg.tombstone_lag
+                        -1, ahwm - self.cfg.tombstone_lag
                     )
                 )
-                ilake.expire_snapshots(keep_last=self.cfg.expire_keep)
+                alake.expire_snapshots(keep_last=self.cfg.expire_keep)
 
     # -------------------------------------------------------------- metrics
     def _write_metrics(

@@ -100,13 +100,20 @@ class EngineConfig:
     #: CDC streams (the workload the round-3 soak modeled).
     file_block_prefix: int = 0
     #: streaming near-dup screening: when True, every applied batch ALSO
-    #: updates a persistent MinHash band index (a LakeTable under
-    #: <lake_root>/_neardup_index/<table>) with exactly the rows it
-    #: changed, and appends the batch's candidate pairs to
-    #: <lake_root>/_neardups/<table> — incremental dedup riding the CDC
-    #: stream instead of re-shingling the corpus per batch. Off by
-    #: default (extra jobs per batch).
+    #: updates a persistent MinHash band index (merge-on-read LakeTables
+    #: under <lake_root>/_neardup_index/<table>) with exactly the rows it
+    #: changed, and commits the batch's candidate pairs to the
+    #: <lake_root>/_neardups/<table> lake (read via CdcApply.neardups()) —
+    #: incremental dedup riding the CDC stream instead of re-shingling the
+    #: corpus per batch. Off by default (extra jobs per batch).
     neardup_index: bool = False
+    #: expected steady-state corpus size for the near-dup index: at index
+    #: CREATION the LSH banding is auto-sized from this hint
+    #: (functions.dedupe.minhash_autosize), so a 50M-doc stream gets scale
+    #: banding by default. None = fixture banding (small corpora). The
+    #: banding is pinned at creation (signatures must stay comparable);
+    #: changing the hint later only affects NEW indexes.
+    neardup_corpus_hint: int | None = None
     #: run lake maintenance every N committed batches (0 = off): compaction
     #: (drop dead rows, consolidate bucket files) + snapshot expiry keeping
     #: the newest ``expire_keep`` manifests. Cheap O(1) truncates and
@@ -164,6 +171,9 @@ CONFIG_SCHEMA = {
                 "key_block_prefix": {"type": "integer", "minimum": 0},
                 "file_block_prefix": {"type": "integer", "minimum": 0},
                 "neardup_index": {"type": "boolean"},
+                "neardup_corpus_hint": {
+                    "type": ["integer", "null"], "minimum": 1,
+                },
             },
         },
         "sink": {"type": "object"},
@@ -200,5 +210,6 @@ def load_config(path: str) -> tuple["EngineConfig", dict]:
         key_block_prefix=ap.get("key_block_prefix", 4),
         file_block_prefix=ap.get("file_block_prefix", 0),
         neardup_index=ap.get("neardup_index", False),
+        neardup_corpus_hint=ap.get("neardup_corpus_hint"),
     )
     return cfg, doc

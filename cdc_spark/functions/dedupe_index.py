@@ -1,31 +1,52 @@
-"""Incremental MinHash near-dup index — the band-fingerprint index
-persisted as a :class:`~cdc_spark.lake.LakeTable`, so each ingest batch
-signs ONLY its new/changed documents and candidate pairs come from an
-equi-join against the stored index.
+"""Incremental MinHash near-dup index — band fingerprints persisted as
+merge-on-read :class:`~cdc_spark.lake.LakeTable` s, so each ingest batch
+signs ONLY its new/changed documents and candidate pairs come from a
+file-pruned point-set lookup against the stored index.
 
 This is the shape a production 100 TB training-data pipeline actually
-runs: nobody re-shingles the whole corpus per batch. It also composes the
-engine's two halves — the CDC apply side (LWW merge, idempotent commits,
-tombstones, time travel all come free from LakeTable, keyed here by
-``(doc_id, band)``) and the dedup side (the same ``minhash_bands``
-fingerprints the one-shot ``q_minhash_lsh_pairs`` uses) — into the product
-the north rule describes.
+runs: nobody re-shingles the whole corpus per batch — and (round 5) nobody
+re-SCANS or re-WRITES the whole index per batch either. Two lakes:
+
+- ``bands``    key ``(doc_id, band)`` -> bkey. The doc-major source of
+  truth: LWW band replacement on update, tombstoned deletes, the rebuild
+  anchor, and the table the tracking invariant compares against.
+- ``postings`` key ``(bkey, band, doc_id)``. The band-major secondary
+  index: the SAME rows re-keyed so the candidate lookup's probe column
+  (bkey) is the leading key, making footer-range file pruning effective.
+  Its deltas are derived from the batch plus a doc-id-pruned point lookup
+  on ``bands`` (old fingerprints to tombstone), never from an index scan.
+
+Both lakes are merge-on-read (``LakeTable.create(merge_on_read=True)``):
+their keys are uniform hashes, so a copy-on-write merge could never skip a
+file and would rewrite the whole index every batch. MOR commits append
+O(batch) range-sharded deltas; reads LWW-resolve; normal lake maintenance
+compacts. Per-batch cost is therefore O(batch + files touched by the
+batch's keys) in reads, writes, AND shuffles — never O(index).
 
 Equivalence contract (oracled as ``minhash_incremental``): for insert-only
 batches whose band buckets stay under MAX_BAND_DOCS, the UNION of per-batch
 candidate pairs equals the one-shot full-recompute pairs on the final
-corpus — every pair's later doc finds the earlier doc's bands already in
+corpus — every pair's later doc finds the earlier doc's postings already in
 the index. Above the cap the two diverge by construction (the incremental
 run emitted pairs while the bucket was still small; the full recompute
 drops the bucket wholesale) — the cap is a degenerate-bucket guard, and an
 already-emitted candidate is not retractable from a streaming pipeline.
 
 Updates and deletes: a changed document's new bands REPLACE its old ones
-(LWW on (doc_id, band) by LSN), and a deleted document tombstones all its
-bands, so neither stale fingerprints nor dead docs generate future pairs.
-A corpus TRUNCATE — the one change no per-row batch can express — has the
-:meth:`MinHashIndex.rebuild` path: one merge carrying the new corpus'
-bands plus a truncate watermark that kills every older index row in O(1).
+(LWW on (doc_id, band); the matching old postings are tombstoned), and a
+deleted document tombstones all its bands and postings, so neither stale
+fingerprints nor dead docs generate future pairs. A corpus TRUNCATE — the
+one change no per-row batch can express — has the
+:meth:`MinHashIndex.rebuild` path: one merge per lake carrying the new
+corpus' rows plus a truncate watermark that kills every older index row in
+O(1).
+
+Exactly-once pairs: :meth:`MinHashIndex.update` is deterministic given the
+post-merge index — it recomputes and RETURNS the batch's pairs on replays
+too (both lake commits are idempotent per batch_id), so a caller that
+persists pairs behind an idempotent commit (the apply path's ``_neardups``
+LakeTable) gets exactly-once with no crash window between the index commit
+and the pairs write.
 """
 
 from __future__ import annotations
@@ -35,13 +56,29 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from ..lake import LakeTable
-from .dedupe import BANDS, K_MINHASH, MAX_BAND_DOCS, minhash_bands
+from .dedupe import (
+    BANDS,
+    K_MINHASH,
+    MAX_BAND_DOCS,
+    minhash_autosize,
+    minhash_bands,
+)
 
-#: index row schema: one row per (doc, band) carrying the band fingerprint
+#: doc-major lake: one row per (doc, band) carrying the band fingerprint
 INDEX_FIELDS = [("doc_id", "long"), ("band", "int"), ("bkey", "string")]
 INDEX_KEY = ("doc_id", "band")
+#: band-major postings lake: the same rows keyed for bkey-range pruning
+POSTING_FIELDS = [("bkey", "string"), ("band", "int"), ("doc_id", "long")]
+POSTING_KEY = ("bkey", "band", "doc_id")
+
+#: driver-side probe-set budget for point-set file pruning: batches whose
+#: (doc, band) row count exceeds this skip the driver collect and fall back
+#: to unpruned scans + shuffle joins (a bootstrap-sized batch approaches a
+#: full recompute anyway, so pruning would buy nothing)
+PRUNE_MAX_KEYS = 200_000
 
 
 class MinHashIndex:
@@ -49,85 +86,297 @@ class MinHashIndex:
 
     The banding parameters are fixed at CREATION (persisted in
     ``minhash_meta.json``): signatures must be comparable across batches,
-    so an index never re-sizes itself — resizing is a rebuild. The
-    auto-sizing rule (:func:`~cdc_spark.functions.dedupe.minhash_autosize`)
-    applies at creation time, against the corpus size the index is being
-    built for.
+    so an index never re-sizes itself — resizing is a rebuild. With
+    ``k``/``n_bands`` unset, creation applies the corpus sizing rule
+    (:func:`~cdc_spark.functions.dedupe.minhash_autosize`) to
+    ``corpus_hint`` (the expected steady-state corpus size, e.g. the
+    bootstrap snapshot's row count), so a 50M-doc stream gets scale
+    banding by default instead of the fixture config; without a hint the
+    fixture banding applies. The chosen rule is recorded in the meta file.
     """
 
     def __init__(
         self,
         spark: SparkSession,
         root: str,
-        k: int = K_MINHASH,
-        n_bands: int = BANDS,
+        k: int | None = None,
+        n_bands: int | None = None,
         n_buckets: int = 8,
+        corpus_hint: int | None = None,
     ):
         self.spark = spark
         self.root = root
         self._meta_path = os.path.join(root, "minhash_meta.json")
-        lake_root = os.path.join(root, "bands")
-        if LakeTable.exists(lake_root):
+        bands_root = os.path.join(root, "bands")
+        post_root = os.path.join(root, "postings")
+        if LakeTable.exists(bands_root):
             with open(self._meta_path) as fh:
                 stored = json.load(fh)
             self.k, self.n_bands = stored["k"], stored["n_bands"]
-            self.lake = LakeTable(spark, lake_root).refresh()
+            self.lake = LakeTable(spark, bands_root).refresh()
+            self._ensure_mor(self.lake)
         else:
+            if k is None or n_bands is None:
+                if corpus_hint:
+                    auto_k, auto_b, _ = minhash_autosize(corpus_hint)
+                else:
+                    auto_k, auto_b = K_MINHASH, BANDS
+                k = auto_k if k is None else k
+                n_bands = auto_b if n_bands is None else n_bands
+                rule = "autosize"
+            else:
+                rule = "explicit"
             self.k, self.n_bands = k, n_bands
             os.makedirs(root, exist_ok=True)
             with open(self._meta_path, "w") as fh:
-                json.dump({"k": k, "n_bands": n_bands}, fh)
+                json.dump(
+                    {
+                        "k": k,
+                        "n_bands": n_bands,
+                        "rule": rule,
+                        "corpus_hint": corpus_hint,
+                    },
+                    fh,
+                )
             self.lake = LakeTable.create(
                 spark,
-                lake_root,
+                bands_root,
                 fields=list(INDEX_FIELDS),
                 key=INDEX_KEY,
                 n_buckets=n_buckets,
                 table="minhash_bands",
+                merge_on_read=True,
             )
+        if LakeTable.exists(post_root):
+            self.post = LakeTable(spark, post_root).refresh()
+            self._ensure_mor(self.post)
+        else:
+            self.post = LakeTable.create(
+                spark,
+                post_root,
+                fields=list(POSTING_FIELDS),
+                key=POSTING_KEY,
+                n_buckets=n_buckets,
+                table="minhash_postings",
+                merge_on_read=True,
+            )
+            last = self.lake.last_batch
+            if last["id"] >= 0:
+                # round-4 index upgraded in place: backfill the postings
+                # lake from the bands lake's live rows in one append commit
+                # stamped with the SAME batch key, so the two lakes' replay
+                # detection stays aligned
+                self.post.merge(
+                    self.lake.read(include_meta=True).select(
+                        "bkey", "band", "doc_id", "_lsn", "_deleted",
+                        "_extra",
+                    ),
+                    batch_id=last["id"],
+                    lsn_hwm=last["lsn_hwm"],
+                )
+                self.post.refresh()
+        self.last_update_stats: dict = {}
+
+    @staticmethod
+    def _ensure_mor(lake: LakeTable) -> None:
+        """Upgrade a round-4 (copy-on-write) index lake in place: its files
+        already hold one row per key, so flipping merge_on_read on is a
+        pure metadata commit (resolve over one-row-per-key is identity)."""
+        if lake.meta.get("merge_on_read"):
+            return
+        from ..lake import ConcurrentCommitError
+
+        meta = dict(lake.meta)
+        meta.update(
+            merge_on_read=True,
+            version=lake.version + 1,
+            parent=lake.version,
+        )
+        try:
+            lake._publish(lake.root, meta)
+        except ConcurrentCommitError:
+            pass  # another opener published the upgrade first
+        lake.refresh()
+
+    def maintenance_lakes(self) -> list[LakeTable]:
+        """Every lake this index owns — what periodic maintenance must
+        compact and expire (compaction folds the merge-on-read deltas, so
+        it is also what keeps per-batch read costs flat)."""
+        return [self.lake, self.post]
 
     def bands(self) -> DataFrame:
-        """The live index: (doc_id, band, bkey), tombstones filtered."""
+        """The live index, doc-major: (doc_id, band, bkey)."""
         return self.lake.read()
 
-    def update(
-        self, docs: DataFrame, lsn: int, batch_id: int
-    ) -> DataFrame | None:
+    def postings(self) -> DataFrame:
+        """The live index, band-major: (bkey, band, doc_id)."""
+        return self.post.read()
+
+    @staticmethod
+    def _version_before(lake: LakeTable, batch_id: int) -> int | None:
+        """The retained snapshot version holding the PRE-batch state: None
+        (= current) on the normal path; on a crash replay — the lake has
+        already committed ``batch_id`` — the newest older version. Replays
+        only ever target the immediately-prior batch, so expire_keep >= 2
+        guarantees retention."""
+        if lake.last_batch["id"] < batch_id:
+            return None
+        mdir = os.path.join(lake.root, "metadata")
+        versions = sorted(
+            (
+                int(f[1:-5])
+                for f in os.listdir(mdir)
+                if f.startswith("v") and f.endswith(".json")
+            ),
+            reverse=True,
+        )
+        for v in versions:
+            if lake._load_version(v)["last_batch"]["id"] < batch_id:
+                return v
+        raise RuntimeError(
+            f"no retained pre-batch snapshot of {lake.root} for replayed "
+            f"batch {batch_id}; keep expire_keep >= 2"
+        )
+
+    def update(self, docs: DataFrame, lsn: int, batch_id: int) -> DataFrame:
         """Apply one batch of corpus changes and return its candidate
         pairs.
 
         ``docs`` carries (doc_id, text[, _deleted]) for the NEW / CHANGED
-        / DELETED documents only — the signature job runs over exactly this
-        frame, never the corpus (the point of the index). Steps:
+        / DELETED documents only — every job below is O(batch + files
+        containing batch keys), never O(index). Steps:
 
-        1. band-fingerprint the non-deleted docs (``minhash_bands``);
-        2. LWW-merge them into the index lake (idempotent per batch_id;
-           deleted docs become tombstones for every band slot);
-        3. candidate pairs = the batch's bands equi-joined against the
-           post-merge live index on (band, bkey) — new x old AND new x new
-           in one join — with the MAX_BAND_DOCS occupancy cap evaluated
-           against CURRENT index occupancy.
+        1. band-fingerprint the non-deleted docs (``minhash_bands``) —
+           the only shingle explode, over exactly this frame;
+        2. point-look-up the batch docs' OLD fingerprints in the bands
+           lake (doc-id-pruned ``scan_for_keys``; on a replay, at the
+           retained pre-batch version) — these become postings tombstones
+           for replaced/deleted bands;
+        3. append-commit the doc-major delta (new bands + per-band
+           tombstones for deleted docs), then the band-major delta
+           (new postings + old-posting tombstones) — both idempotent per
+           batch_id;
+        4. candidate pairs = the batch's bands against the post-merge
+           live postings, read via bkey-pruned ``scan_for_keys`` and
+           joined broadcast-side — new x old AND new x new in one join —
+           with the MAX_BAND_DOCS occupancy cap evaluated against the
+           touched buckets' CURRENT live occupancy (a windowed count over
+           the same pruned read, not an index-wide groupBy).
 
-        Returns (doc_a, doc_b) with doc_a < doc_b, distinct — or ``None``
-        when the index had ALREADY applied this batch_id (idempotent
-        replay): the caller must not re-append pairs it already emitted.
+        Returns (doc_a, doc_b) with doc_a < doc_b, distinct. The result is
+        deterministic given the post-merge index, and both commits are
+        idempotent, so REPLAYS return the same pairs instead of None —
+        callers persist them behind their own idempotent commit and the
+        crash window between index commit and pairs write disappears.
+
+        Out-of-order robustness: when ``docs`` carries a per-row ``_lsn``
+        (the apply path passes the deduped batch's row LSNs), index rows
+        and tombstones are stamped with IT, not the batch watermark — so a
+        stale redelivery that wins its own (later) batch still LOSES the
+        index's LWW resolve against the newer stored fingerprint, exactly
+        as the stale row loses the lake's row-level LWW merge. Without the
+        column every row stamps at ``lsn`` (insert-only callers).
         """
+        return self._apply(docs, lsn, batch_id)
+
+    def _apply(
+        self,
+        docs: DataFrame,
+        lsn: int,
+        batch_id: int,
+        new_truncate_lsn: int | None = None,
+        emit_pairs: bool = True,
+    ) -> DataFrame | None:
         has_del = "_deleted" in docs.columns
         live = docs.filter(~F.col("_deleted")) if has_del else docs
+        if "_lsn" in docs.columns:
+            lsn_map = docs.select(
+                "doc_id",
+                F.coalesce(
+                    F.col("_lsn").cast("long"), F.lit(lsn).cast("long")
+                ).alias("_row_lsn"),
+            ).distinct()
+        else:
+            lsn_map = docs.select("doc_id").distinct().withColumn(
+                "_row_lsn", F.lit(lsn).cast("long")
+            )
         # lineage-free snapshot of this batch's fingerprints: consumed by
-        # the merge write AND the pair join (without it the shingle explode
-        # would run twice)
+        # both lake deltas AND the pair join (without it the shingle
+        # explode would run once per consumer)
         new_bands = minhash_bands(
             live.select("doc_id", "text"), self.k, self.n_bands
         ).localCheckpoint(eager=False)
-        batch = new_bands.select(
-            "doc_id", "band", "bkey",
-            F.lit(lsn).cast("long").alias("_lsn"),
-            F.lit(False).alias("_deleted"),
-            F.lit(None).cast("map<string,string>").alias("_extra"),
-        )
+
+        # driver-side probe sets for file pruning (capped — a bootstrap-
+        # sized batch reads the whole index anyway)
+        probe = new_bands.head(PRUNE_MAX_KEYS + 1)
+        pruned = len(probe) <= PRUNE_MAX_KEYS
+        dead_ids: list = []
         if has_del:
-            dead = (
+            dead_ids = [
+                r[0]
+                for r in docs.filter(F.col("_deleted"))
+                .select("doc_id")
+                .distinct()
+                .collect()
+            ]
+        doc_ids = (
+            sorted({r["doc_id"] for r in probe} | set(dead_ids))
+            if pruned
+            else None
+        )
+        bkeys = sorted({r["bkey"] for r in probe}) if pruned else None
+
+        def _j(left, right, on, right_small=True, how="inner"):
+            # broadcast only when the batch side is provably small
+            if pruned and right_small:
+                right = F.broadcast(right)
+            return left.join(right, on, how)
+
+        # 2. old fingerprints of the batch's docs (pre-batch state)
+        v_before = self._version_before(self.lake, batch_id)
+        truncate_before = (
+            self.lake.truncate_lsn
+            if v_before is None
+            else self.lake._load_version(v_before)["truncate_lsn"]
+        )
+        ids_df = docs.select("doc_id").distinct()
+        old_raw = self.lake.scan_for_keys(doc_ids, version=v_before)
+        old_live = self.lake.resolve_live(
+            _j(old_raw, ids_df, ["doc_id"]), truncate_lsn=truncate_before
+        ).select("doc_id", "band", "bkey", "_lsn")
+        doc_stats = dict(self.lake.last_scan_stats)
+        # postings to tombstone: every old (doc, band) fingerprint the
+        # batch does not re-assert identically (replaced OR deleted).
+        # Tombstones stamp with the replacing row's lsn, so a STALE
+        # replacement's tombstones lose the LWW resolve and the stored
+        # newer posting survives.
+        repl = old_live.select("doc_id", "band", "bkey").join(
+            new_bands.select("doc_id", "band", "bkey"),
+            ["doc_id", "band", "bkey"],
+            "left_anti",
+        )
+        # stored per-(doc, band) LSN: a batch row older than it is a stale
+        # redelivery — its POSTINGS must not go live (their (bkey, band,
+        # doc) keys never collide with the stored newer posting, so unlike
+        # the doc-major lake the postings LWW cannot hide them)
+        old_kv = old_live.select(
+            "doc_id", "band", F.col("_lsn").alias("_old_lsn")
+        )
+
+        # 3a. doc-major delta, stamped with each row's OWN lsn
+        def _stamped(df, deleted=False):
+            stamped = _j(df, lsn_map, ["doc_id"])
+            return stamped.select(
+                *[c for c in df.columns],
+                F.col("_row_lsn").alias("_lsn"),
+                F.lit(deleted).alias("_deleted"),
+                F.lit(None).cast("map<string,string>").alias("_extra"),
+            )
+
+        dbatch = _stamped(new_bands.select("doc_id", "band", "bkey"))
+        if has_del and dead_ids:
+            dead = _stamped(
                 docs.filter(F.col("_deleted"))
                 .select("doc_id")
                 .crossJoin(
@@ -136,31 +385,74 @@ class MinHashIndex:
                     )
                 )
                 .select(
-                    "doc_id", "band",
+                    "doc_id",
+                    "band",
                     F.lit(None).cast("string").alias("bkey"),
-                    F.lit(lsn).cast("long").alias("_lsn"),
-                    F.lit(True).alias("_deleted"),
-                    F.lit(None).cast("map<string,string>").alias("_extra"),
-                )
+                ),
+                deleted=True,
             )
-            batch = batch.unionByName(dead)
-        info = self.lake.merge(batch, batch_id=batch_id, lsn_hwm=lsn)
-        self.lake.refresh()
-        if info.get("skipped"):
-            return None  # replayed batch: pairs were already emitted
-        idx = self.bands()
-        ok = (
-            idx.groupBy("band", "bkey")
-            .agg(F.count("*").alias("_n"))
-            .filter(F.col("_n") <= MAX_BAND_DOCS)
-            .select("band", "bkey")
+            dbatch = dbatch.unionByName(dead)
+        self.lake.merge(
+            dbatch, batch_id=batch_id, lsn_hwm=lsn,
+            new_truncate_lsn=new_truncate_lsn,
         )
-        idx_ok = idx.join(ok, ["band", "bkey"])
-        return (
-            new_bands.select(
-                F.col("doc_id").alias("_new_doc"), "band", "bkey"
+        self.lake.refresh()
+
+        # 3b. band-major delta (old-posting tombstones carry the OLD bkey,
+        # so they land in — and later prune with — the right key range;
+        # they stamp with the REPLACING row's lsn, so a stale redelivery's
+        # tombstones lose against the stored newer posting just like its
+        # upserts do)
+        up = (
+            _j(
+                _stamped(new_bands.select("bkey", "band", "doc_id")),
+                old_kv,
+                ["doc_id", "band"],
+                how="left",
             )
-            .join(idx_ok, ["band", "bkey"])
+            .filter(
+                F.col("_old_lsn").isNull()
+                | (F.col("_lsn") >= F.col("_old_lsn"))
+            )
+            .drop("_old_lsn")
+        )
+        pbatch = up.unionByName(
+            _stamped(repl.select("bkey", "band", "doc_id"), deleted=True)
+        )
+        self.post.merge(
+            pbatch, batch_id=batch_id, lsn_hwm=lsn,
+            new_truncate_lsn=new_truncate_lsn,
+        )
+        self.post.refresh()
+        if not emit_pairs:
+            return None
+
+        # 4. candidate pairs from the bkey-pruned post-merge postings
+        keys = new_bands.select("band", "bkey").distinct()
+        raw = self.post.scan_for_keys(bkeys)
+        matched = self.post.resolve_live(_j(raw, keys, ["band", "bkey"]))
+        self.last_update_stats = {
+            "pruned": pruned,
+            "doc_lookup": doc_stats,
+            "postings_lookup": dict(self.post.last_scan_stats),
+        }
+        # occupancy cap over the touched buckets only: the join above kept
+        # EVERY live posting of each touched (band, bkey), so the windowed
+        # count IS the bucket's full current occupancy
+        occ = Window.partitionBy("band", "bkey")
+        matched_ok = (
+            matched.withColumn("_n", F.count("*").over(occ))
+            .filter(F.col("_n") <= MAX_BAND_DOCS)
+            .select("band", "bkey", "doc_id")
+        )
+        return (
+            _j(
+                matched_ok,
+                new_bands.select(
+                    F.col("doc_id").alias("_new_doc"), "band", "bkey"
+                ),
+                ["band", "bkey"],
+            )
             .filter(F.col("_new_doc") != F.col("doc_id"))
             .select(
                 F.least("_new_doc", "doc_id").alias("doc_a"),
@@ -169,27 +461,34 @@ class MinHashIndex:
             .distinct()
         )
 
-    def rebuild(self, docs: DataFrame, lsn: int, batch_id: int) -> None:
+    def rebuild(
+        self,
+        docs: DataFrame,
+        lsn: int,
+        batch_id: int,
+        truncate_lsn: int | None = None,
+    ) -> None:
         """Full re-index — the recovery path after a table TRUNCATE (the
-        one corpus change ``update`` cannot express row-by-row). One merge
-        publishes the new corpus' bands together with a truncate watermark
-        at ``lsn - 1``: every older index row dies logically in O(1) (the
-        lake's truncate semantics), physical space is reclaimed by normal
-        lake maintenance, and the index is exactly the new corpus' bands.
-        Idempotent per ``batch_id`` like any lake commit."""
-        new_bands = minhash_bands(
-            docs.select("doc_id", "text"), self.k, self.n_bands
+        one corpus change ``update`` cannot express row-by-row): the same
+        pipeline as :meth:`update` (so LWW replacement, old-posting
+        tombstones, and per-row LSN stamping all apply identically), fed
+        the FULL post-truncate corpus and committed together with a
+        truncate watermark that kills every pre-truncate index row in
+        O(1); physical space is reclaimed by normal lake maintenance.
+        Idempotent per ``batch_id`` like any lake commit; emits no pairs.
+
+        ``truncate_lsn`` should be the table's truncate event LSN when
+        ``docs`` carries per-row ``_lsn`` stamps (the apply path: live
+        lake rows — all above that watermark by the lake's own truncate
+        rule — plus the truncating batch's deletes as ``_deleted`` rows,
+        so a doc both updated and deleted around the truncate resolves in
+        the index exactly as in the lake). Without it the watermark
+        defaults to ``lsn - 1``, matching uniform ``lsn`` stamps
+        (insert-only callers: the index becomes exactly ``docs``)."""
+        t = (lsn - 1) if truncate_lsn is None else truncate_lsn
+        self._apply(
+            docs, lsn, batch_id, new_truncate_lsn=t, emit_pairs=False
         )
-        batch = new_bands.select(
-            "doc_id", "band", "bkey",
-            F.lit(lsn).cast("long").alias("_lsn"),
-            F.lit(False).alias("_deleted"),
-            F.lit(None).cast("map<string,string>").alias("_extra"),
-        )
-        self.lake.merge(
-            batch, batch_id=batch_id, lsn_hwm=lsn, new_truncate_lsn=lsn - 1
-        )
-        self.lake.refresh()
 
 
 def q_minhash_incremental(spark, sf_dir):
@@ -199,22 +498,32 @@ def q_minhash_incremental(spark, sf_dir):
     full-recompute LSH pairs (``sql_minhash_lsh_pairs`` is the oracle,
     fixture banding — the driver fixture's buckets sit far under the
     occupancy cap, where the equivalence is exact)."""
+    import shutil
     import tempfile
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         "doc_id", "text"
     )
     root = tempfile.mkdtemp(prefix="cdc_mh_index_")
-    idx = MinHashIndex(spark, root, k=K_MINHASH, n_bands=BANDS)
-    out = None
-    for i in range(3):
-        pairs = idx.update(
-            d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
-            lsn=i + 1,
-            batch_id=i,
+    try:
+        idx = MinHashIndex(spark, root, k=K_MINHASH, n_bands=BANDS)
+        out = None
+        for i in range(3):
+            pairs = idx.update(
+                d.filter(F.pmod(F.col("doc_id"), F.lit(3)) == i),
+                lsn=i + 1,
+                batch_id=i,
+            )
+            out = pairs if out is None else out.unionByName(pairs)
+        # materialize before the temp index is deleted (the returned frame
+        # must not keep lineage into the removed files)
+        return (
+            out.distinct()
+            .orderBy("doc_a", "doc_b")
+            .localCheckpoint(eager=True)
         )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct().orderBy("doc_a", "doc_b")
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def registry() -> dict:
