@@ -257,7 +257,24 @@ class Psycopg2Wire:
     batch can be a redelivery of the previous batch's last LSN. That is
     at-least-once delivery, which the pipeline already absorbs (LWW dedup
     + idempotent lake commits); it never loses or reorders data.
+
+    ``exclusive = True``: a logical slot admits ONE active consumer, so
+    the reader must not hold this wire's stream open across operations —
+    it releases (``close``) after each read/feedback, letting a
+    crash-recovery replay in a Spark worker (or a restarted driver whose
+    predecessor's TCP connection still lingers server-side) take the slot
+    without a second-consumer conflict. ``start_replication`` additionally
+    absorbs the lingering-connection window itself: SQLSTATE 55006
+    ("replication slot ... is active for PID") retries with backoff until
+    the server reaps the dead consumer.
     """
+
+    #: one active consumer per slot: release the stream between operations
+    exclusive = True
+    #: active-slot (55006) retry budget for start_replication: the dead
+    #: previous consumer's connection can linger until the server notices
+    _ACTIVE_RETRIES = 20
+    _ACTIVE_RETRY_WAIT_S = 0.5
 
     def __init__(self, dsn: str, plugin: str = "wal2json",
                  slot_options: Optional[dict] = None):
@@ -302,20 +319,50 @@ class Psycopg2Wire:
         finally:
             cur.connection.close()
 
+    def close(self) -> None:
+        """Release the current replication stream (and its connection).
+        The slot's restart_lsn is durable server-side; a later
+        ``start_replication`` resumes from retained WAL."""
+        if self._cursor is not None:
+            try:
+                self._cursor.connection.close()
+            except Exception:
+                pass
+            self._cursor = None
+
+    @staticmethod
+    def _is_slot_active_error(e) -> bool:
+        # SQLSTATE 55006 (object_in_use) first; the English message is a
+        # fallback for drivers not exposing pgcode (text is localized)
+        return getattr(e, "pgcode", None) == "55006" or (
+            "is active for PID" in str(e)
+        )
+
     def start_replication(self, slot_name: str,
                           start_lsn: int | None = None):
         from psycopg2.extras import REPLICATION_LOGICAL
 
-        if self._cursor is not None:
-            self._cursor.connection.close()
-        self._cursor = self._replication_cursor()
+        self.close()
         kwargs = {"options": self._slot_options} if self._slot_options else {}
         if start_lsn is not None and start_lsn >= 0:
             kwargs["start_lsn"] = start_lsn
-        self._cursor.start_replication(
-            slot_name, REPLICATION_LOGICAL, **kwargs
-        )
-        return _Psycopg2Cursor(self._cursor)
+        attempt = 0
+        while True:
+            self._cursor = self._replication_cursor()
+            try:
+                self._cursor.start_replication(
+                    slot_name, REPLICATION_LOGICAL, **kwargs
+                )
+                return _Psycopg2Cursor(self._cursor)
+            except self._psycopg2.Error as e:
+                self.close()
+                if (
+                    not self._is_slot_active_error(e)
+                    or attempt >= self._ACTIVE_RETRIES
+                ):
+                    raise
+                attempt += 1
+                time.sleep(self._ACTIVE_RETRY_WAIT_S)
 
     def send_feedback(self, slot_name: str, write_lsn: int | None = None,
                       flush_lsn: int | None = None) -> None:
@@ -413,6 +460,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         self._create = str(options.get("create_slot", "true")).lower() == "true"
         self._max_events = int(options.get("max_events_per_batch", 100_000))
         self._keepalive_s = float(options.get("keepalive_interval_s", 10.0))
+        self._worker_copy = False
         self._wire = connect_wire(self._wire_url)
         if self._create:
             try:
@@ -421,6 +469,11 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
                 pass  # create-if-absent (reference postgres_logical.py:155-163)
         self._cursor = self._wire.start_replication(self._slot)
         self._start_keepalive_thread()
+        # on an exclusive wire (real Postgres: ONE active consumer per
+        # slot) the validation stream above must not stay open — a held
+        # driver-side stream would lock out the worker-side crash-recovery
+        # replay (readBetweenOffsets) and any restarted driver
+        self._maybe_release()
 
     def _start_keepalive_thread(self) -> None:
         # Keepalives on a cadence INDEPENDENT of the trigger interval — the
@@ -456,12 +509,33 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         # when this copy is actually asked to read
         self._wire = None
         self._cursor = None
+        self._worker_copy = True
         self._start_keepalive_thread()
 
-    def _ensure_wire(self) -> None:
+    def _ensure_wire(self, open_stream: bool = True) -> None:
         if self._wire is None:
             self._wire = connect_wire(self._wire_url)
+            self._cursor = None
+        if open_stream and self._cursor is None:
             self._cursor = self._wire.start_replication(self._slot)
+
+    def _maybe_release(self) -> None:
+        """Drop the wire between operations when it is EXCLUSIVE (one
+        active consumer per slot — the real psycopg2 wire): holding the
+        stream would lock out crash-recovery replays and restarted
+        drivers, and a closed walsender needs no keepalives (the
+        keepalive loop naturally idles while ``_wire is None``). The
+        persistent fake wire (and any shared transport) is kept open, so
+        keepalive cadence semantics there are unchanged."""
+        if self._wire is not None and getattr(self._wire, "exclusive", False):
+            close = getattr(self._wire, "close", None)
+            if close is not None:
+                try:
+                    close()
+                except Exception:
+                    pass
+            self._wire = None
+            self._cursor = None
 
     def _feedback(self, **kwargs) -> None:
         """All slot feedback (data positions AND empty keepalives) goes
@@ -479,6 +553,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
             self._ensure_wire()
             self._wire.send_feedback(self._slot, **kwargs)
             self._last_keepalive = time.monotonic()
+            self._maybe_release()
 
     #: consecutive keepalive failures tolerated before the thread gives up
     #: (a dead wire at shutdown should not spin forever; a transient blip
@@ -510,8 +585,11 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         """First-ever start: begin at the slot's restart LSN (a slot created
         just now starts at -1 = everything retained)."""
         with self._fb_lock:
-            self._ensure_wire()
-            return {"lsn": self._wire.restart_lsn(self._slot)}
+            self._ensure_wire(open_stream=False)
+            try:
+                return {"lsn": self._wire.restart_lsn(self._slot)}
+            finally:
+                self._maybe_release()
 
     def read(self, start: dict) -> Tuple[Iterator[Tuple], dict]:
         rows: list[tuple[int, str]] = []
@@ -523,7 +601,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         # walsender least needs them — and the write-position feedback at
         # the end resets the keepalive clock.
         with self._fb_lock:
-            self._ensure_wire()
+            self._ensure_wire(open_stream=False)
             cur = self._wire.start_replication(self._slot, start_lsn=hwm)
             while len(rows) < self._max_events:
                 msg = cur.read_message()
@@ -537,6 +615,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
                 # (reference sources/__init__.py:82-106)
                 self._wire.send_feedback(self._slot, write_lsn=hwm)
             self._last_keepalive = time.monotonic()
+            self._maybe_release()
         return iter(rows), {"lsn": hwm}
 
     def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[Tuple]:
@@ -545,7 +624,7 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
         only flushed through ``commit``."""
         out = []
         with self._fb_lock:
-            self._ensure_wire()
+            self._ensure_wire(open_stream=False)
             cur = self._wire.start_replication(
                 self._slot, start_lsn=start["lsn"]
             )
@@ -554,6 +633,12 @@ class PgLogicalStreamReader(SimpleDataSourceStreamReader):
                 if msg is None or msg[0] > end["lsn"]:
                     break
                 out.append(msg)
+            self._maybe_release()
+        if self._worker_copy:
+            # a worker-side replay copy is done once its range is read:
+            # stop its keepalive thread so it can never keep feeding the
+            # slot (ADVICE r4) — the driver-side reader owns keepalives
+            self._ka_stop.set()
         return iter(out)
 
     def commit(self, end: dict) -> None:

@@ -273,7 +273,13 @@ class _MockPg:
     psycopg2 is absent in this container, so the Psycopg2Wire adapter is
     contract-tested against this stand-in injected into sys.modules."""
 
-    class ProgrammingError(Exception):
+    class Error(Exception):
+        pass
+
+    class ProgrammingError(Error):
+        pass
+
+    class OperationalError(Error):
         pass
 
     class LogicalReplicationConnection:
@@ -286,6 +292,10 @@ class _MockPg:
         self.wal = []         # [(data_start, payload bytes)]
         self.calls = []       # flat call log across all connections
         self.open_conns = []
+        #: raise this many SQLSTATE-55006 active-slot errors on
+        #: start_replication before succeeding (the lingering dead
+        #: consumer window the wire must retry through)
+        self.active_failures = 0
 
     # -- module surface
     def connect(self, dsn, connection_factory=None):
@@ -299,7 +309,9 @@ class _MockPg:
 
         mod = types.ModuleType("psycopg2")
         mod.connect = self.connect
+        mod.Error = _MockPg.Error
         mod.ProgrammingError = _MockPg.ProgrammingError
+        mod.OperationalError = _MockPg.OperationalError
         extras = types.ModuleType("psycopg2.extras")
         extras.LogicalReplicationConnection = _MockPg.LogicalReplicationConnection
         extras.REPLICATION_LOGICAL = _MockPg.REPLICATION_LOGICAL
@@ -363,6 +375,13 @@ class _MockReplCursor:
             raise _MockPg.ProgrammingError(
                 f'replication slot "{name}" does not exist'
             )
+        if self._server.active_failures > 0:
+            self._server.active_failures -= 1
+            e = _MockPg.OperationalError(
+                f'replication slot "{name}" is active for PID 4242'
+            )
+            e.pgcode = "55006"
+            raise e
         lo = start_lsn if start_lsn is not None else -1
         self._stream = [m for m in self._server.wal if m[0] > lo]
 
@@ -491,5 +510,88 @@ def test_reader_over_psycopg2_wire_end_to_end(monkeypatch):
         assert pg.calls[-1] == ("send_feedback",
                                 {"write_lsn": 3, "flush_lsn": 3})
         assert pg.slots["cdc"] == "0/3"
+    finally:
+        r.stop()
+
+
+def test_exclusive_wire_released_between_operations(monkeypatch):
+    """ADVICE r4 (pg_logical.py:542): the reader must NOT hold a
+    replication stream open between operations on the real wire — a
+    logical slot admits ONE active consumer, so a held driver-side stream
+    locks out the worker-side crash-recovery replay. After init, read,
+    and commit, every mock connection is closed and the reader holds no
+    wire."""
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    pg.wal = [(1, b"p1"), (2, b"p2")]
+    r = PgLogicalStreamReader(
+        {"wire": "postgres://db/x", "slot_name": "cdc",
+         "keepalive_interval_s": "1000"}
+    )
+    try:
+        assert r._wire is None and all(c.closed for c in pg.open_conns)
+        rows, end = r.read(r.initialOffset())
+        assert [l for l, _ in rows] == [1, 2] and end == {"lsn": 2}
+        assert r._wire is None and all(c.closed for c in pg.open_conns)
+        r.commit(end)
+        assert r._wire is None and all(c.closed for c in pg.open_conns)
+    finally:
+        r.stop()
+
+
+def test_active_slot_error_retries_until_freed(monkeypatch):
+    """A dying consumer's connection can linger server-side; the wire's
+    start_replication must absorb SQLSTATE 55006 with retries instead of
+    crash-looping the stream exactly when it is recovering."""
+    from cdc_spark.pg_logical import Psycopg2Wire
+
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    pg.slots["cdc"] = "0/0"
+    pg.wal = [(1, b"p1")]
+    pg.active_failures = 2
+    wire = Psycopg2Wire("postgres://db/x")
+    monkeypatch.setattr(Psycopg2Wire, "_ACTIVE_RETRY_WAIT_S", 0.01)
+    cur = wire.start_replication("cdc")
+    assert cur.read_message() == (1, "p1")
+    # budget exhausted -> the error propagates
+    pg.active_failures = 10_000
+    monkeypatch.setattr(Psycopg2Wire, "_ACTIVE_RETRIES", 2)
+    with pytest.raises(_MockPg.OperationalError):
+        wire.start_replication("cdc")
+    # a NON-active error is never retried
+    pg.active_failures = 0
+    with pytest.raises(_MockPg.ProgrammingError):
+        wire.start_replication("ghost")
+
+
+def test_worker_replay_copy_releases_slot_and_stops_keepalive(monkeypatch):
+    """The unpickled worker-side copy replaying a crashed batch must (a)
+    take the slot (possible now the driver releases between operations),
+    (b) release it again after the replay, and (c) stop its keepalive
+    thread so it can never keep feeding the slot (ADVICE r4)."""
+    import pickle
+
+    pg = _MockPg()
+    pg.install(monkeypatch)
+    pg.wal = [(1, b"p1"), (2, b"p2"), (3, b"p3")]
+    r = PgLogicalStreamReader(
+        {"wire": "postgres://db/x", "slot_name": "cdc",
+         "keepalive_interval_s": "1000"}
+    )
+    try:
+        worker = pickle.loads(pickle.dumps(r))
+        assert worker._worker_copy and not r._worker_copy
+        try:
+            rows = list(
+                worker.readBetweenOffsets({"lsn": 1}, {"lsn": 3})
+            )
+            assert [l for l, _ in rows] == [2, 3]
+            assert worker._wire is None
+            assert all(c.closed for c in pg.open_conns)
+            assert worker._ka_stop.is_set()  # keepalives stopped for good
+            assert not r._ka_stop.is_set()   # driver's keepalives live on
+        finally:
+            worker.stop()
     finally:
         r.stop()
