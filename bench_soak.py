@@ -6,7 +6,9 @@ round so merge-path changes are caught if they degrade with lake age.
 
 Prints one JSON line: per-batch seconds, sustained ev/s, end state.
 Env: SOAK_EVENTS (default 40_000_000), SOAK_BATCHES (10),
-SPARK_GRAFT_CPUS (32).
+SPARK_GRAFT_CPUS (32), SOAK_NEARDUP=1 to run the COMPOSED product —
+every batch also maintains the incremental MinHash index + pairs lake
+(cfg.neardup_index) — whose per-batch overhead must stay flat too.
 """
 
 from __future__ import annotations
@@ -23,6 +25,7 @@ def main() -> None:
     n_events = int(os.environ.get("SOAK_EVENTS", 40_000_000))
     n_batches = int(os.environ.get("SOAK_BATCHES", 10))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    neardup = os.environ.get("SOAK_NEARDUP", "0") == "1"
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import SparkSession
 
@@ -55,6 +58,7 @@ def main() -> None:
             n_buckets=32,
             shuffle_partitions=cpus,
             compact_every=4,
+            neardup_index=neardup,
         )
         applier = CdcApply(spark, cfg)
         # warmup (JIT/codegen), untimed, separate lake
@@ -87,6 +91,7 @@ def main() -> None:
             "lake_version": lake.version,
             "data_files": len(lake.meta["files"]),
             "cpus": cpus,
+            "neardup_index": neardup,
         }))
     finally:
         shutil.rmtree(work, ignore_errors=True)
