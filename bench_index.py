@@ -111,8 +111,9 @@ def main() -> None:
                 for lake in idx.maintenance_lakes():
                     lake.refresh().compact()
                     lake.expire_snapshots(keep_last=2)
-        head = sum(secs[1:4]) / 3
-        tail = sum(secs[-3:]) / 3
+        head_s, tail_s = secs[1:4] or secs[:1], secs[-3:]
+        head = sum(head_s) / len(head_s)
+        tail = sum(tail_s) / len(tail_s)
         print(
             json.dumps(
                 {

@@ -549,9 +549,7 @@ class CdcApply:
             # row per key, keeping read-side resolve and point-set
             # pruning costs flat
             idx = self._neardup_idx.get(t)
-            aux = list(getattr(idx, "maintenance_lakes", lambda: [])()) if (
-                idx is not None
-            ) else []
+            aux = idx.maintenance_lakes() if idx is not None else []
             if self.cfg.neardup_index:
                 aux.append(self._neardups_lake(t))
             for alake in aux:

@@ -160,21 +160,25 @@ class MinHashIndex:
                 table="minhash_postings",
                 merge_on_read=True,
             )
-            last = self.lake.last_batch
-            if last["id"] >= 0:
-                # round-4 index upgraded in place: backfill the postings
-                # lake from the bands lake's live rows in one append commit
-                # stamped with the SAME batch key, so the two lakes' replay
-                # detection stays aligned
-                self.post.merge(
-                    self.lake.read(include_meta=True).select(
-                        "bkey", "band", "doc_id", "_lsn", "_deleted",
-                        "_extra",
-                    ),
-                    batch_id=last["id"],
-                    lsn_hwm=last["lsn_hwm"],
-                )
-                self.post.refresh()
+        last = self.lake.last_batch
+        if self.post.last_batch["id"] < 0 <= last["id"]:
+            # round-4 index upgraded in place: backfill the postings lake
+            # from the bands lake's live rows in one append commit stamped
+            # with the SAME batch key, so the two lakes' replay detection
+            # stays aligned. Gated on the postings COMMIT state, not the
+            # directory's existence — a crash between create() and this
+            # merge must retry the backfill on reopen, while a normal
+            # mid-stream crash window (postings one batch behind) must NOT
+            # backfill (its replay applies the missing delta, tombstones
+            # included).
+            self.post.merge(
+                self.lake.read(include_meta=True).select(
+                    "bkey", "band", "doc_id", "_lsn", "_deleted", "_extra",
+                ),
+                batch_id=last["id"],
+                lsn_hwm=last["lsn_hwm"],
+            )
+            self.post.refresh()
         self.last_update_stats: dict = {}
 
     @staticmethod
@@ -307,19 +311,26 @@ class MinHashIndex:
             live.select("doc_id", "text"), self.k, self.n_bands
         ).localCheckpoint(eager=False)
 
-        # driver-side probe sets for file pruning (capped — a bootstrap-
-        # sized batch reads the whole index anyway)
+        # driver-side probe sets for file pruning (BOTH collects capped at
+        # PRUNE_MAX_KEYS — a bootstrap-sized batch, or a bulk purge, reads
+        # the whole index anyway, and an unbounded driver collect is the
+        # exact failure the budget exists to prevent)
         probe = new_bands.head(PRUNE_MAX_KEYS + 1)
         pruned = len(probe) <= PRUNE_MAX_KEYS
         dead_ids: list = []
+        has_dead = False
         if has_del:
-            dead_ids = [
-                r[0]
-                for r in docs.filter(F.col("_deleted"))
+            drows = (
+                docs.filter(F.col("_deleted"))
                 .select("doc_id")
                 .distinct()
-                .collect()
-            ]
+                .head(PRUNE_MAX_KEYS + 1)
+            )
+            has_dead = bool(drows)
+            if len(drows) > PRUNE_MAX_KEYS:
+                pruned = False
+            else:
+                dead_ids = [r[0] for r in drows]
         doc_ids = (
             sorted({r["doc_id"] for r in probe} | set(dead_ids))
             if pruned
@@ -334,13 +345,24 @@ class MinHashIndex:
             return left.join(right, on, how)
 
         # 2. old fingerprints of the batch's docs (pre-batch state)
-        v_before = self._version_before(self.lake, batch_id)
+        try:
+            v_before = self._version_before(self.lake, batch_id)
+        except RuntimeError:
+            if self.post.last_batch["id"] >= batch_id:
+                # FULL replay: both lakes already committed this batch (so
+                # maintenance may have expired the pre-batch snapshot —
+                # compaction versions share the batch's last_batch id).
+                # Both merges below will skip, making the old lookup inert
+                # — any retained version serves; never crash-loop here.
+                v_before = None
+            else:
+                raise
         truncate_before = (
             self.lake.truncate_lsn
             if v_before is None
             else self.lake._load_version(v_before)["truncate_lsn"]
         )
-        ids_df = docs.select("doc_id").distinct()
+        ids_df = lsn_map.select("doc_id")  # already distinct per doc
         old_raw = self.lake.scan_for_keys(doc_ids, version=v_before)
         old_live = self.lake.resolve_live(
             _j(old_raw, ids_df, ["doc_id"]), truncate_lsn=truncate_before
@@ -375,7 +397,7 @@ class MinHashIndex:
             )
 
         dbatch = _stamped(new_bands.select("doc_id", "band", "bkey"))
-        if has_del and dead_ids:
+        if has_dead:
             dead = _stamped(
                 docs.filter(F.col("_deleted"))
                 .select("doc_id")

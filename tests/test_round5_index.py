@@ -194,6 +194,42 @@ def test_oracled_query_leaves_no_temp_dirs(spark):
     assert set(glob.glob(pat)) == before
 
 
+def test_postings_backfill_retries_after_create_crash(
+    spark, tmpdir_factory_clean
+):
+    """Round-4-upgrade path: a crash between the postings lake's create()
+    and the backfill merge must RETRY the backfill on reopen (the gate is
+    the postings COMMIT state, not directory existence) — and a wiped
+    postings dir (same shape as a legacy single-lake index) backfills to
+    exactly the bands lake's live rows."""
+    import shutil
+
+    root = tmpdir_factory_clean("r5h")
+    idx = MinHashIndex(spark, root)
+    idx.update(_frame(spark, range(6)), lsn=1, batch_id=0)
+    idx.update(
+        _frame(spark, [2], texts=lambda i: _text(99), deleted={2}),
+        lsn=2, batch_id=1,
+    )
+    want = _bands_set(idx.bands())
+    # legacy layout / crash before backfill: no postings commits on disk
+    shutil.rmtree(os.path.join(root, "postings"))
+    from cdc_spark.lake import LakeTable
+    from cdc_spark.functions.dedupe_index import POSTING_FIELDS, POSTING_KEY
+
+    LakeTable.create(
+        spark, os.path.join(root, "postings"),
+        fields=list(POSTING_FIELDS), key=POSTING_KEY,
+        table="minhash_postings", merge_on_read=True,
+    )  # create published, backfill never ran
+    re = MinHashIndex(spark, root)
+    assert {
+        (r["doc_id"], r["band"], r["bkey"])
+        for r in re.postings().collect()
+    } == want
+    assert re.post.last_batch["id"] == re.lake.last_batch["id"]
+
+
 def test_out_of_order_stale_batch_cannot_desync(
     spark, tmpdir_factory_clean
 ):
