@@ -59,6 +59,9 @@ def main() -> None:
             shuffle_partitions=cpus,
             compact_every=4,
             neardup_index=neardup,
+            # the soak keyspace is 2000 repos x 200 paths: let the index
+            # auto-size its banding for the real steady-state corpus
+            neardup_corpus_hint=400_000 if neardup else None,
         )
         applier = CdcApply(spark, cfg)
         # warmup (JIT/codegen), untimed, separate lake

@@ -171,13 +171,19 @@ class MinHashIndex:
             # mid-stream crash window (postings one batch behind) must NOT
             # backfill (its replay applies the missing delta, tombstones
             # included).
-            self.post.merge(
-                self.lake.read(include_meta=True).select(
-                    "bkey", "band", "doc_id", "_lsn", "_deleted", "_extra",
-                ),
-                batch_id=last["id"],
-                lsn_hwm=last["lsn_hwm"],
-            )
+            from ..lake import ConcurrentCommitError
+
+            try:
+                self.post.merge(
+                    self.lake.read(include_meta=True).select(
+                        "bkey", "band", "doc_id", "_lsn", "_deleted",
+                        "_extra",
+                    ),
+                    batch_id=last["id"],
+                    lsn_hwm=last["lsn_hwm"],
+                )
+            except ConcurrentCommitError:
+                pass  # a concurrent opener committed the same backfill
             self.post.refresh()
         self.last_update_stats: dict = {}
 
@@ -348,12 +354,16 @@ class MinHashIndex:
         try:
             v_before = self._version_before(self.lake, batch_id)
         except RuntimeError:
-            if self.post.last_batch["id"] >= batch_id:
-                # FULL replay: both lakes already committed this batch (so
-                # maintenance may have expired the pre-batch snapshot —
-                # compaction versions share the batch's last_batch id).
-                # Both merges below will skip, making the old lookup inert
-                # — any retained version serves; never crash-loop here.
+            if self.post.last_batch["id"] == batch_id:
+                # FULL replay of the LATEST batch: both lakes already
+                # committed it (so same-batch maintenance may have expired
+                # the pre-batch snapshot — compaction versions share the
+                # batch's last_batch id). Both merges below will skip,
+                # making the old lookup inert, and the post-merge state the
+                # pairs derive from is unchanged since the original run —
+                # never crash-loop here. A replay of an OLDER batch (id <
+                # last) still raises: its pairs would no longer be
+                # deterministic, so the actionable retention error stands.
                 v_before = None
             else:
                 raise
