@@ -558,12 +558,87 @@ def q_minhash_incremental(spark, sf_dir):
         shutil.rmtree(root, ignore_errors=True)
 
 
+def q_neardup_stream(spark, sf_dir):
+    """The COMPOSED product as an oracled query: the documents table is
+    re-expressed as a 3-batch CDC insert stream and driven through the
+    full apply pipeline with ``neardup_index=True`` — LWW dedup, lake
+    merge, incremental index update, exactly-once pairs commit — and the
+    accumulated :meth:`~cdc_spark.apply.CdcApply.neardups` table, mapped
+    from key hashes back to doc ids, must equal the one-shot
+    full-recompute LSH pairs (same insert-only equivalence contract as
+    ``minhash_incremental``, but through the ENGINE's surface instead of
+    the index's)."""
+    import shutil
+    import tempfile
+
+    from ..apply import CdcApply
+    from ..config import EngineConfig
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    env = d.select(
+        (F.col("doc_id") + 1).cast("long").alias("lsn"),
+        F.lit("insert").alias("op"),
+        F.lit("docs").alias("table"),
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("schema_change"),
+        F.pmod(F.col("doc_id"), F.lit(3)).alias("_b"),
+    )
+    root = tempfile.mkdtemp(prefix="cdc_nd_stream_")
+    try:
+        cfg = EngineConfig(
+            lake_root=root,
+            checkpoint=os.path.join(root, "_ckpt"),
+            n_buckets=4,
+            neardup_index=True,
+        )
+        applier = CdcApply(spark, cfg)
+        for i in range(3):
+            applier.apply_batch(
+                env.filter(F.col("_b") == i).drop("_b"), i
+            )
+        # map the pairs' key hashes back to doc ids (the oracle speaks
+        # doc_id; xxhash64 is Spark-side only)
+        ids = d.select(
+            "doc_id",
+            F.xxhash64(
+                F.col("doc_id").cast("string"), F.lit("p")
+            ).alias("_h"),
+        )
+        nd = applier.neardups("docs")
+        out = (
+            nd.join(ids.select(F.col("_h").alias("doc_a"),
+                               F.col("doc_id").alias("_a")), ["doc_a"])
+            .join(ids.select(F.col("_h").alias("doc_b"),
+                             F.col("doc_id").alias("_b2")), ["doc_b"])
+            .select(
+                F.least("_a", "_b2").alias("doc_a"),
+                F.greatest("_a", "_b2").alias("doc_b"),
+            )
+            .distinct()
+            .orderBy("doc_a", "doc_b")
+        )
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def registry() -> dict:
     from .dedupe import sql_minhash_lsh_pairs
 
     return {
         "minhash_incremental": (
             q_minhash_incremental,
+            sql_minhash_lsh_pairs(),
+        ),
+        "neardup_stream": (
+            q_neardup_stream,
             sql_minhash_lsh_pairs(),
         ),
     }
