@@ -111,6 +111,30 @@ def main() -> None:
                 for lake in idx.maintenance_lakes():
                     lake.refresh().compact()
                     lake.expire_snapshots(keep_last=2)
+        # selectivity spot-check: after a final compaction (many tight
+        # range shards), a SMALL batch must touch a strict subset of each
+        # lake's files — the 100-TB shape, where batches are tiny relative
+        # to the index
+        for lake in idx.maintenance_lakes():
+            lake.refresh().compact()
+        # 3 docs x n_bands probes vs ~n_buckets range shards per lake:
+        # few enough probes that untouched shards must exist
+        small = docs(n_batches).limit(3)
+        t0 = time.time()
+        idx.update(small, lsn=n_batches + 1, batch_id=n_batches).count()
+        small_sec = round(time.time() - t0, 2)
+        sel = {
+            "batch_docs": 3,
+            "sec": small_sec,
+            "doc": [
+                idx.last_update_stats["doc_lookup"]["files_read"],
+                idx.last_update_stats["doc_lookup"]["files_total"],
+            ],
+            "post": [
+                idx.last_update_stats["postings_lookup"]["files_read"],
+                idx.last_update_stats["postings_lookup"]["files_total"],
+            ],
+        }
         head_s, tail_s = secs[1:4] or secs[:1], secs[-3:]
         head = sum(head_s) / len(head_s)
         tail = sum(tail_s) / len(tail_s)
@@ -128,6 +152,7 @@ def main() -> None:
                     "tail_over_head": round(tail / head, 2)
                     if head
                     else None,
+                    "small_batch_selectivity": sel,
                     "corpus_final": per * n_batches,
                     "banding": [idx.k, idx.n_bands],
                     "cpus": cpus,

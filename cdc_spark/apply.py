@@ -460,9 +460,21 @@ class CdcApply:
         root = os.path.join(self.cfg.lake_root, "_neardup_index", table)
         idx = self._neardup_idx.get(table)
         if idx is None or idx.root != root:
+            hint = self.cfg.neardup_corpus_hint
+            if not hint:
+                # seed the banding auto-sizer from the bootstrap corpus:
+                # the index is created AFTER the batch's lake merge, so a
+                # snapshot-bootstrapped table already shows its true size
+                # in the manifest row counts (driver-side metadata sum, no
+                # job; an upper bound — tombstones/stale MOR rows — which
+                # only ever rounds the sizing rule UP a regime)
+                hint = sum(
+                    f.get("rows") or 0
+                    for f in self.lake_for(table).refresh().meta["files"]
+                ) or None
             idx = self._neardup_idx[table] = MinHashIndex(
                 self.spark, root, n_buckets=self.cfg.n_buckets,
-                corpus_hint=self.cfg.neardup_corpus_hint,
+                corpus_hint=hint,
             )
         doc_id = F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias(
             "doc_id"

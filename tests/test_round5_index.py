@@ -180,6 +180,37 @@ def test_autosize_at_creation_and_pinned_reopen(
     assert (idx2.k, idx2.n_bands) == (16, 4)
 
 
+def test_apply_seeds_banding_from_bootstrap_corpus(
+    spark, tmpdir_factory_clean
+):
+    """With no explicit hint, the apply path seeds the index's banding
+    auto-sizer from the lake's manifest row count at creation — a
+    snapshot-bootstrapped 50M-doc table gets scale banding by default
+    instead of the fixture config (the round-4 defaults gap, closed at
+    the engine surface)."""
+    import json
+
+    from cdc_spark.apply import CdcApply
+    from cdc_spark.config import EngineConfig
+    from cdc_spark.loggen import change_log
+
+    root = tmpdir_factory_clean("r5i")
+    cfg = EngineConfig(
+        lake_root=root, checkpoint=os.path.join(root, "_ckpt"),
+        n_buckets=4, neardup_index=True,
+    )
+    applier = CdcApply(spark, cfg)
+    # ~6.6k live keys (> AUTOSIZE_BASE) in the bootstrap batch
+    log = change_log(spark, 20_000, n_repos=700, n_paths=10, seed=3)
+    applier.apply_batch(log, 0)
+    with open(
+        os.path.join(root, "_neardup_index", "repos", "minhash_meta.json")
+    ) as fh:
+        meta = json.load(fh)
+    assert meta["rule"] == "autosize" and meta["corpus_hint"] > 5_000
+    assert (meta["k"], meta["n_bands"]) == (24, 3)  # the 5e4 regime
+
+
 def test_oracled_query_leaves_no_temp_dirs(spark):
     """VERDICT #8: q_minhash_incremental materializes its result and
     removes its scratch index."""
