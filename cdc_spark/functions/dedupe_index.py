@@ -56,8 +56,6 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
 from ..lake import LakeTable
 from .dedupe import (
     BANDS,
@@ -469,13 +467,22 @@ class MinHashIndex:
             "postings_lookup": dict(self.post.last_scan_stats),
         }
         # occupancy cap over the touched buckets only: the join above kept
-        # EVERY live posting of each touched (band, bkey), so the windowed
-        # count IS the bucket's full current occupancy
-        occ = Window.partitionBy("band", "bkey")
-        matched_ok = (
-            matched.withColumn("_n", F.count("*").over(occ))
+        # EVERY live posting of each touched (band, bkey), so the count IS
+        # the bucket's full current occupancy. A partial-aggregated
+        # groupBy + (broadcast) semi-join — NOT a window over (band, bkey):
+        # a degenerate bucket is exactly the case being filtered, and a
+        # window would funnel its entire posting list through one task
+        # before the filter could drop it, while the map-side-combined
+        # count never materializes the bucket in one place
+        matched = matched.localCheckpoint(eager=False)
+        occ_ok = (
+            matched.groupBy("band", "bkey")
+            .agg(F.count("*").alias("_n"))
             .filter(F.col("_n") <= MAX_BAND_DOCS)
-            .select("band", "bkey", "doc_id")
+            .select("band", "bkey")
+        )
+        matched_ok = _j(matched, occ_ok, ["band", "bkey"]).select(
+            "band", "bkey", "doc_id"
         )
         return (
             _j(

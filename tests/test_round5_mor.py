@@ -171,6 +171,44 @@ def test_cow_strategies_rejected_on_mor_and_vice_versa(
     mor.merge(None, batch_id=0, lsn_hwm=1)
 
 
+def test_mor_resolve_spans_schema_epochs(spark, tmpdir_factory_clean):
+    """LWW resolve must work across delta files written under DIFFERENT
+    schema versions: _read_files projects every file group to the target
+    schema BEFORE the resolve, so the winner comparison sees uniform
+    columns (added column -> NULL on old rows)."""
+    lake = _mk(spark, tmpdir_factory_clean("mor11"))
+    lake.merge(_batch(spark, [(1, "a"), (2, "b")], 1), batch_id=0, lsn_hwm=1)
+    schemas = [
+        {"schema_id": 0, "fields": [["k", "long"], ["v", "string"]]},
+        {
+            "schema_id": 1,
+            "fields": [["k", "long"], ["v", "string"], ["w", "long"]],
+        },
+    ]
+    b2 = spark.createDataFrame(
+        [(2, "b2", 7, 2, False, None)],
+        "k BIGINT, v STRING, w BIGINT, _lsn BIGINT, _deleted BOOLEAN, "
+        "_extra MAP<STRING,STRING>",
+    )
+    lake.merge(
+        b2, batch_id=1, lsn_hwm=2, new_schemas=schemas, new_schema_id=1
+    )
+    got = {
+        (r["k"], r["v"], r["w"]) for r in lake.read().collect()
+    }
+    assert got == {(1, "a", None), (2, "b2", 7)}
+    # and a later old-row redelivery still loses to the evolved winner
+    b3 = spark.createDataFrame(
+        [(2, "stale", None, 1, False, None)],
+        "k BIGINT, v STRING, w BIGINT, _lsn BIGINT, _deleted BOOLEAN, "
+        "_extra MAP<STRING,STRING>",
+    )
+    lake.merge(b3, batch_id=2, lsn_hwm=3)
+    assert {
+        (r["k"], r["v"], r["w"]) for r in lake.read().collect()
+    } == got
+
+
 def test_mor_lookup_and_time_travel(spark, tmpdir_factory_clean):
     lake = _mk(spark, tmpdir_factory_clean("mor10"))
     lake.merge(_batch(spark, [(7, "a"), (8, "b")], 1), batch_id=0, lsn_hwm=1)
