@@ -415,7 +415,7 @@ class CdcApply:
             self._neardup_pairs[table] = lake
         return lake
 
-    def neardups(self, table: str) -> DataFrame:
+    def neardups(self, table: str, live_only: bool = False) -> DataFrame:
         """Queryable near-dup candidate pairs for ``table``: columns
         (doc_a, doc_b, batch_id) with doc_a < doc_b, where doc ids are
         ``xxhash64(*key)`` of the lake rows. EXACTLY one row per pair —
@@ -425,8 +425,29 @@ class CdcApply:
         pair) — so readers need no dropDuplicates. Pairs are advisory
         history: they are not retracted when a document later changes or
         dies (an emitted candidate is not retractable from a streaming
-        pipeline); join against the live lake to filter."""
-        return self._neardups_lake(table).refresh().read()
+        pipeline). ``live_only=True`` filters to pairs whose BOTH docs
+        are still live in the lake (two semi-joins against the live key
+        hashes — O(pairs + live keys), one job)."""
+        pairs = self._neardups_lake(table).refresh().read()
+        if not live_only:
+            return pairs
+        live = (
+            self.lake_for(table)
+            .refresh()
+            .read()
+            .select(
+                F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias("_h")
+            )
+        )
+        return (
+            pairs.join(
+                live.select(F.col("_h").alias("doc_a")), ["doc_a"], "semi"
+            )
+            .join(
+                live.select(F.col("_h").alias("doc_b")), ["doc_b"], "semi"
+            )
+            .select("doc_a", "doc_b", "batch_id")
+        )
 
     def _update_neardup_index(
         self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int,

@@ -180,6 +180,43 @@ def test_autosize_at_creation_and_pinned_reopen(
     assert (idx2.k, idx2.n_bands) == (16, 4)
 
 
+def test_neardups_live_only_filters_dead_docs(spark, tmpdir_factory_clean):
+    """neardups(live_only=True) keeps only pairs whose BOTH docs are
+    still live in the lake; the full view keeps the advisory history."""
+    from cdc_spark.apply import CdcApply
+    from cdc_spark.config import EngineConfig
+
+    root = tmpdir_factory_clean("r5j")
+    cfg = EngineConfig(
+        lake_root=root, checkpoint=os.path.join(root, "_ckpt"),
+        n_buckets=2, neardup_index=True,
+    )
+    applier = CdcApply(spark, cfg)
+
+    def env(rows, lsns, op="insert"):
+        return spark.createDataFrame(
+            [
+                (l, op, "repos", r, "p", None, None, t, None, None)
+                for (r, t), l in zip(rows, lsns)
+            ],
+            "lsn BIGINT, op STRING, `table` STRING, repo STRING, "
+            "path STRING, `commit` STRING, lang STRING, content STRING, "
+            "extra MAP<STRING,STRING>, schema_change STRING",
+        )
+
+    text = " ".join(f"tok{i}" for i in range(40))
+    applier.apply_batch(
+        env([("a", text), ("b", text), ("c", text)], [1, 2, 3]), 0
+    )
+    assert applier.neardups("repos").count() == 3  # all 3 pairs
+    # delete doc c: its pairs stay in history but leave the live view
+    applier.apply_batch(env([("c", None)], [4], op="delete"), 1)
+    assert applier.neardups("repos").count() == 3
+    live = applier.neardups("repos", live_only=True)
+    assert live.count() == 1  # only (a, b) survives
+    assert set(live.columns) == {"doc_a", "doc_b", "batch_id"}
+
+
 def test_apply_seeds_banding_from_bootstrap_corpus(
     spark, tmpdir_factory_clean
 ):
