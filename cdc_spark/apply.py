@@ -427,7 +427,8 @@ class CdcApply:
         dies (an emitted candidate is not retractable from a streaming
         pipeline). ``live_only=True`` filters to pairs whose BOTH docs
         are still live in the lake (two semi-joins against the live key
-        hashes — O(pairs + live keys), one job)."""
+        hashes, which are computed and locally checkpointed ONCE —
+        O(pairs + live keys) with a single lake scan)."""
         pairs = self._neardups_lake(table).refresh().read()
         if not live_only:
             return pairs
@@ -438,6 +439,7 @@ class CdcApply:
             .select(
                 F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias("_h")
             )
+            .localCheckpoint(eager=False)
         )
         return (
             pairs.join(

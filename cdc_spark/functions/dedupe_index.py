@@ -268,8 +268,10 @@ class MinHashIndex:
            live postings, read via bkey-pruned ``scan_for_keys`` and
            joined broadcast-side — new x old AND new x new in one join —
            with the MAX_BAND_DOCS occupancy cap evaluated against the
-           touched buckets' CURRENT live occupancy (a windowed count over
-           the same pruned read, not an index-wide groupBy).
+           touched buckets' CURRENT live occupancy (a map-side-combined
+           count over the same pruned read plus a semi-join — never an
+           index-wide groupBy, and never a per-bucket window that would
+           funnel a degenerate bucket through one task).
 
         Returns (doc_a, doc_b) with doc_a < doc_b, distinct. The result is
         deterministic given the post-merge index, and both commits are
@@ -604,6 +606,13 @@ def q_neardup_stream(spark, sf_dir):
             checkpoint=os.path.join(root, "_ckpt"),
             n_buckets=4,
             neardup_index=True,
+            # PIN the fixture banding regime: the oracle SQL hard-codes
+            # K_MINHASH/BANDS, and without a hint the engine would seed
+            # the autosizer from the bootstrap corpus size — correct in
+            # production, but a silent oracle divergence past
+            # AUTOSIZE_BASE docs (same reason q_minhash_incremental pins
+            # k/n_bands explicitly)
+            neardup_corpus_hint=1,
         )
         applier = CdcApply(spark, cfg)
         for i in range(3):
