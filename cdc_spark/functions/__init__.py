@@ -6,6 +6,7 @@ from __future__ import annotations
 
 def registry() -> dict:
     from . import (
+        cluster,
         dedupe,
         dedupe_index,
         multimodal,
@@ -17,7 +18,7 @@ def registry() -> dict:
     )
 
     out: dict = {}
-    for mod in (text, dedupe, dedupe_index, similarity, multimodal,
+    for mod in (text, dedupe, dedupe_index, cluster, similarity, multimodal,
                 temporal, sampling, pipeline):
         out.update(mod.registry())
     return out

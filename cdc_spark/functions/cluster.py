@@ -1,0 +1,216 @@
+"""Dedup clustering: connected components over near-dup candidate pairs.
+
+Pair emission (MinHash / SimHash / embedding LSH) finds EDGES; an actual
+dedup pass needs the transitive closure — groups of mutually-near docs —
+so it can keep one canonical document per group. At 100 TB the component
+graph does not fit one machine and its diameter is unbounded (chains of
+gradually-mutated documents), so naive min-label propagation (O(diameter)
+rounds) is the wrong shape. This module implements the alternating
+**large-star / small-star** algorithm (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC 2014): every round is two
+key-partitioned aggregations + equi-joins over the current edge set —
+no driver-side graph state, no broadcast of anything corpus-sized — and
+it converges in O(log^2 n) rounds regardless of diameter. Each round's
+frame is eagerly checkpointed to keep lineage (and thus planning time)
+constant across iterations.
+
+Output labels are deterministic: every node's ``cluster_id`` is the
+MINIMUM doc_id in its component, so "keep the canonical doc" is simply
+``doc_id == cluster_id`` — stable across runs, partitionings, and
+cluster sizes, which is what makes the result oracle-able in ANSI SQL
+(a recursive CTE computing min-reachable-label).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StructField, StructType
+
+#: alternating-star round budget. The algorithm converges in
+#: O(log^2 n) rounds; 40 covers any corpus that could physically exist
+#: (2^(sqrt(40)) docs is already beyond 10^18). Non-convergence within the
+#: budget therefore indicates a bug, and raises rather than returning a
+#: silently-partial clustering.
+MAX_CC_ROUNDS = 40
+
+_LABEL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType(), False),
+        StructField("cluster_id", LongType(), False),
+    ]
+)
+
+
+def _edge_stats(e: DataFrame) -> tuple[int, int]:
+    """Order-independent fingerprint of an edge set (count + xor of row
+    hashes; xor cannot overflow under ANSI mode and the set is distinct,
+    so no self-cancellation) — one partial-aggregated job, used as the
+    convergence test."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).head()
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_rounds: int = MAX_CC_ROUNDS,
+) -> DataFrame:
+    """(doc_id, cluster_id) for every node appearing in ``pairs``;
+    ``cluster_id`` is the component's minimum doc_id.
+
+    Alternating large-star / small-star on the undirected edge set:
+
+    - **large-star**: every node connects its strictly-LARGER neighbors to
+      its minimum incident node ``m = min({u} U neighbors(u))``;
+    - **small-star**: edges oriented larger->smaller; every node connects
+      its smaller neighbors AND ITSELF to that minimum.
+
+    Both steps preserve connectivity and never create an edge to a larger
+    node, so the edge set monotonically "falls" toward each component's
+    minimum; at fixpoint every component is a star centered on it. Each
+    step is groupBy(min) + equi-join over the edges — partial aggregation
+    handles the high-degree star roots map-side, and nothing is collected
+    to the driver. Isolated docs (no pairs) are absent from the result by
+    construction; callers left-join and coalesce to the doc's own id.
+    """
+    spark = pairs.sparkSession
+    half = pairs.select(
+        F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+    ).filter(F.col("u") != F.col("v"))
+    # canonical undirected form (hi -> lo); star-steps below maintain it
+    e = (
+        half.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    prev = _edge_stats(e)
+    if prev[0] == 0:
+        return spark.createDataFrame([], _LABEL_SCHEMA)
+
+    for _ in range(max_rounds):
+        # ---- large-star: for each u, attach strictly-larger neighbors to
+        # m = min(u, min(neighbors)). Work on the symmetric view so every
+        # node sees its full neighborhood.
+        sym = e.unionByName(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least(F.col("u"), F.col("_mn")).alias("m"))
+        )
+        ls = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = (
+            ls.filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # ---- small-star: edges already oriented hi -> lo; attach each
+        # node's smaller neighbors and the node itself to its minimum.
+        smins = e.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            e.join(smins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(smins.select(F.col("u"), F.col("m").alias("v")))
+        )
+        e = (
+            ss.filter(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+            )
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        cur = _edge_stats(e)
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_rounds} rounds"
+        )
+
+    # fixpoint is a star forest: every edge is (leaf, root). Roots appear
+    # only on the v side; they label themselves.
+    return (
+        e.select(F.col("u").alias("doc_id"), F.col("v").alias("cluster_id"))
+        .unionByName(
+            e.select(F.col("v").alias("doc_id"), F.col("v").alias("cluster_id"))
+        )
+        .groupBy("doc_id")
+        .agg(F.min("cluster_id").alias("cluster_id"))
+    )
+
+
+def dedup_clusters(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Full-corpus dedup verdict: (doc_id, cluster_id, is_canonical) for
+    EVERY doc — singletons cluster with themselves, and exactly one doc
+    per cluster (the minimum id) is canonical. ``docs`` needs a ``doc_id``
+    column; ``pairs`` is any (doc_a, doc_b) near-dup pair frame. The
+    survivors of a dedup pass are ``is_canonical = 1``."""
+    cc = connected_components(pairs)
+    lab = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return (
+        docs.select("doc_id")
+        .join(cc, "doc_id", "left")
+        .select(
+            "doc_id",
+            lab.alias("cluster_id"),
+            (lab == F.col("doc_id")).cast("int").alias("is_canonical"),
+        )
+    )
+
+
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled instance: cluster the MinHash LSH pair graph on the
+    documents table and emit every doc's cluster + canonical flag. The
+    oracle computes the same min-label components with a recursive CTE
+    over the identical pair SQL."""
+    from .dedupe import q_minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return dedup_clusters(d, pairs).orderBy("doc_id")
+
+
+def sql_dedup_clusters() -> str:
+    """Recursive min-label propagation over the LSH pair CTEs: seed every
+    node with its own id, propagate labels along edges (pruned to labels
+    smaller than the target — larger ones can never win the MIN), take the
+    per-node minimum. The component minimum reaches every member because
+    each hop's target is larger than it."""
+    from .dedupe import sql_lsh_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {sql_lsh_pairs_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(u, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seeds
+    UNION
+    SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.u
+    WHERE w.lab < e.v
+),
+lab AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY u)
+SELECT d.doc_id,
+       COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(l.cluster_id, d.doc_id) = d.doc_id
+            THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM documents d LEFT JOIN lab l USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def registry() -> dict:
+    return {
+        "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
+    }

@@ -243,7 +243,12 @@ def q_minhash_lsh_pairs(spark, sf_dir, k: int | None = None,
     return pairs
 
 
-def sql_minhash_lsh_pairs() -> str:
+def sql_lsh_pairs_ctes() -> str:
+    """The pairs computation as a reusable CTE chain (no WITH keyword, no
+    final SELECT): shingle hashes -> signatures -> bands -> occupancy cap ->
+    ``pairs(doc_a, doc_b)``. Shared by :func:`sql_minhash_lsh_pairs` and
+    downstream oracles that consume the pair set (e.g. the connected-
+    components clustering oracle in :mod:`.cluster`)."""
     rows_per_band = K_MINHASH // BANDS
     band_selects = []
     for bidx in range(BANDS):
@@ -257,16 +262,21 @@ def sql_minhash_lsh_pairs() -> str:
         f"min(({a} * h + {b}) % {MOD}) AS mh{i}"
         for i, (a, b) in enumerate(mh_params(K_MINHASH))
     )
-    return f"""
-WITH {_DUCK_SHINGLE_HASHES},
+    return f"""{_DUCK_SHINGLE_HASHES},
 sig AS (SELECT doc_id, {mins} FROM hs GROUP BY doc_id),
 banded0 AS ({banded}),
 ok AS (SELECT band, bkey FROM banded0 GROUP BY band, bkey
        HAVING count(*) <= {MAX_BAND_DOCS}),
-banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bkey))
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
-WHERE a.doc_id < b.doc_id
+banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bkey)),
+pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.doc_id < b.doc_id)"""
+
+
+def sql_minhash_lsh_pairs() -> str:
+    return f"""
+WITH {sql_lsh_pairs_ctes()}
+SELECT doc_a, doc_b FROM pairs
 ORDER BY doc_a, doc_b
 """
 

@@ -157,6 +157,83 @@ FROM s ORDER BY doc_id
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style intra-document repetition signals: total tokens, the
+    most-frequent token's count, tokens belonging to any duplicated token,
+    and the most-frequent bigram's count — the raw inputs of the
+    "duplicate n-gram fraction" quality filters, kept in integer space so
+    the cross-engine hash comparison is exact (callers derive the
+    fractions). Two explodes + partial-aggregated groupBys, both keyed by
+    doc_id — the same linear, map-side-combining shape as token_count, so
+    cost scales with corpus size, never corpus^2."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    base = d.select("doc_id", t.alias("t"))
+    uni = (
+        base.select("doc_id", F.explode("t").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    ua = uni.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.max("c").cast("long").alias("top_token_n"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("dup_token_n"),
+    )
+    # adjacent-token bigrams via zip_with over the shifted array — no
+    # positional self-join
+    bigrams = F.zip_with(
+        F.slice(F.col("t"), 1, F.size("t") - 1),
+        F.slice(F.col("t"), 2, F.size("t") - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    ba = (
+        base.select("doc_id", F.explode(bigrams).alias("bg"))
+        .groupBy("doc_id", "bg")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").cast("long").alias("top_bigram_n"))
+    )
+    return (
+        d.select("doc_id")
+        .join(ua, "doc_id")
+        .join(ba, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "top_token_n",
+            "dup_token_n",
+            F.coalesce("top_bigram_n", F.lit(0))
+            .cast("long")
+            .alias("top_bigram_n"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+SQL_REPETITION = r"""
+WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+              FROM documents),
+tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+uni AS (SELECT doc_id, tok, count(*) AS c FROM tok GROUP BY doc_id, tok),
+ua AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+              CAST(max(c) AS BIGINT) AS top_token_n,
+              CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+                  AS dup_token_n
+       FROM uni GROUP BY doc_id),
+bgi AS (SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+bgs AS (SELECT doc_id, t[i] || ' ' || t[i+1] AS bg FROM bgi),
+bc AS (SELECT doc_id, bg, count(*) AS c FROM bgs GROUP BY doc_id, bg),
+ba AS (SELECT doc_id, CAST(max(c) AS BIGINT) AS top_bigram_n
+       FROM bc GROUP BY doc_id)
+SELECT d.doc_id, ua.n_tokens, ua.top_token_n, ua.dup_token_n,
+       CAST(COALESCE(ba.top_bigram_n, 0) AS BIGINT) AS top_bigram_n
+FROM documents d JOIN ua USING (doc_id) LEFT JOIN ba USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_fingerprint(spark, sf_dir):
     """Document fingerprinting: a true rolling polynomial hash over the
     normalized text (the portable hash, identical in both engines) plus the
@@ -196,4 +273,5 @@ def registry() -> dict:
         "token_count": (q_token_count, SQL_TOKEN_COUNT),
         "quality_score": (q_quality_score, sql_quality_score()),
         "doc_fingerprint": (q_fingerprint, sql_fingerprint()),
+        "repetition_stats": (q_repetition_stats, SQL_REPETITION),
     }
