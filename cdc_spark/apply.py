@@ -451,6 +451,35 @@ class CdcApply:
             .select("doc_a", "doc_b", "batch_id")
         )
 
+    def neardup_clusters(self, table: str) -> DataFrame:
+        """Dedup verdict over the CURRENT corpus from the streaming pair
+        history: connected components
+        (:func:`~cdc_spark.functions.cluster.connected_components`,
+        alternating large-star/small-star — O(log^2 n) key-partitioned
+        rounds, no driver graph state) over the live-filtered
+        :meth:`neardups` pairs, joined back over the live lake keys.
+        Returns (doc_id, cluster_id, is_canonical) for EVERY live doc —
+        doc ids are the same ``xxhash64(*key)`` hashes the pairs speak,
+        singletons self-cluster, and exactly one doc per cluster (the
+        minimum hash) carries ``is_canonical = 1``. Keeping only
+        canonical rows IS the near-dup-free training corpus; the
+        live_only pair filter means documents deleted since a pair was
+        emitted neither appear nor absorb survivors."""
+        from .functions.cluster import dedup_clusters
+
+        live_ids = (
+            self.lake_for(table)
+            .refresh()
+            .read()
+            .select(
+                F.xxhash64(*[F.col(k) for k in self.cfg.key]).alias(
+                    "doc_id"
+                )
+            )
+        )
+        pairs = self.neardups(table, live_only=True)
+        return dedup_clusters(live_ids, pairs)
+
     def _update_neardup_index(
         self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int,
         truncated: bool = False,

@@ -3,6 +3,7 @@ reference on adversarial graph shapes, plus the dedup_clusters API
 contract (the query itself is additionally DuckDB-oracled end-to-end in
 test_entry_contract)."""
 
+import os
 import random
 
 import pytest
@@ -98,3 +99,109 @@ def test_dedup_clusters_contract(spark):
     # exactly one canonical per cluster
     canon = [d for d, (c, k) in rows.items() if k == 1]
     assert len(canon) == len({c for c, _ in rows.values()})
+
+
+def _partition(rows):
+    """cluster rows -> frozenset of frozensets (label-space independent)."""
+    by = {}
+    for doc, cid in rows:
+        by.setdefault(cid, set()).add(doc)
+    return frozenset(frozenset(s) for s in by.values())
+
+
+def test_streaming_clusters_match_oneshot(spark, tmpdir_factory_clean):
+    """The composed surface: a CDC insert stream with neardup_index=True,
+    then CdcApply.neardup_clusters() — the partition over live docs must
+    equal the one-shot dedup_clusters over the final corpus's LSH pairs
+    (same insert-only equivalence contract as neardup_stream, extended
+    through the clustering), and a delete batch must drop the dead doc
+    from the clustering without disturbing the rest."""
+    from cdc_spark.apply import CdcApply
+    from cdc_spark.config import EngineConfig
+    from cdc_spark.functions.dedupe import q_minhash_lsh_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    env = d.select(
+        (F.col("doc_id") + 1).cast("long").alias("lsn"),
+        F.lit("insert").alias("op"),
+        F.lit("docs").alias("table"),
+        F.col("doc_id").cast("string").alias("repo"),
+        F.lit("p").alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.col("text").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("schema_change"),
+        F.pmod(F.col("doc_id"), F.lit(3)).alias("_b"),
+    )
+    root = tmpdir_factory_clean("cdc_cluster_stream")
+    cfg = EngineConfig(
+        lake_root=root,
+        checkpoint=os.path.join(root, "_ckpt"),
+        n_buckets=4,
+        neardup_index=True,
+        neardup_corpus_hint=1,
+    )
+    applier = CdcApply(spark, cfg)
+    for i in range(3):
+        applier.apply_batch(env.filter(F.col("_b") == i).drop("_b"), i)
+
+    ids = {
+        r["doc_id"]: r["_h"]
+        for r in d.select(
+            "doc_id",
+            F.xxhash64(F.col("doc_id").cast("string"), F.lit("p")).alias(
+                "_h"
+            ),
+        ).collect()
+    }
+    inv = {h: doc for doc, h in ids.items()}
+
+    got_rows = applier.neardup_clusters("docs").collect()
+    got = _partition((inv[r["doc_id"]], r["cluster_id"]) for r in got_rows)
+    want_rows = dedup_clusters(d, q_minhash_lsh_pairs(spark, sf_dir)).collect()
+    want = _partition((r["doc_id"], r["cluster_id"]) for r in want_rows)
+    assert got == want
+    assert sum(r["is_canonical"] for r in got_rows) == len(got)
+
+    # delete one doc that participates in a pair; it must vanish from the
+    # clustering and everything else must stay partitioned identically
+    victim = next(
+        doc
+        for doc, cid in (
+            (r["doc_id"], r["cluster_id"]) for r in want_rows
+        )
+        if doc != cid  # non-canonical member of a real cluster
+    )
+    dele = spark.createDataFrame(
+        [(2000, "delete", "docs", str(victim), "p")],
+        "lsn long, op string, table string, repo string, path string",
+    ).select(
+        "lsn", "op", "table", "repo", "path",
+        F.lit(None).cast("string").alias("commit"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("content"),
+        F.lit(None).cast("map<string,string>").alias("extra"),
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    applier.apply_batch(dele, 3)
+    after_rows = applier.neardup_clusters("docs").collect()
+    after_docs = {inv[r["doc_id"]] for r in after_rows}
+    assert victim not in after_docs and len(after_rows) == len(got_rows) - 1
+    after = _partition((inv[r["doc_id"]], r["cluster_id"]) for r in after_rows)
+    want_after = _partition(
+        (doc, cid)
+        for doc, cid in (
+            (r["doc_id"], r["cluster_id"])
+            for r in dedup_clusters(
+                d.filter(F.col("doc_id") != victim),
+                q_minhash_lsh_pairs(spark, sf_dir)
+                .filter(F.col("doc_a") != victim)
+                .filter(F.col("doc_b") != victim),
+            ).collect()
+        )
+    )
+    assert after == want_after
