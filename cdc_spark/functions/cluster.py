@@ -41,6 +41,12 @@ _LABEL_SCHEMA = StructType(
     ]
 )
 
+#: stats of the most recent connected_components() call (same pattern as
+#: LakeTable.last_scan_stats): rounds to convergence + edge counts —
+#: consumed by bench_cluster.py's scale probe and available for plan
+#: assertions in tests
+LAST_CC_STATS: dict = {}
+
 
 def _edge_stats(e: DataFrame) -> tuple[int, int]:
     """Order-independent fingerprint of an edge set (count + xor of row
@@ -91,10 +97,12 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev = _edge_stats(e)
+    LAST_CC_STATS.clear()
+    LAST_CC_STATS.update(input_edges=prev[0], rounds=0)
     if prev[0] == 0:
         return spark.createDataFrame([], _LABEL_SCHEMA)
 
-    for _ in range(max_rounds):
+    for rnd in range(max_rounds):
         # ---- large-star: for each u, attach strictly-larger neighbors to
         # m = min(u, min(neighbors)). Work on the symmetric view so every
         # node sees its full neighborhood.
@@ -131,6 +139,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         cur = _edge_stats(e)
+        LAST_CC_STATS.update(rounds=rnd + 1, final_edges=cur[0])
         if cur == prev:
             break
         prev = cur
