@@ -37,6 +37,8 @@ QUERIES = [
     "lang_id",
     "quality_score",
     "sample_stratified",
+    "repetition_stats",
+    "dedup_clusters",
 ]
 
 
