@@ -10,6 +10,7 @@ def registry() -> dict:
         dedupe,
         dedupe_index,
         multimodal,
+        packing,
         pipeline,
         sampling,
         similarity,
@@ -19,6 +20,6 @@ def registry() -> dict:
 
     out: dict = {}
     for mod in (text, dedupe, dedupe_index, cluster, similarity, multimodal,
-                temporal, sampling, pipeline):
+                temporal, sampling, packing, pipeline):
         out.update(mod.registry())
     return out
