@@ -37,7 +37,9 @@ def pack_sequences(
 ) -> DataFrame:
     """(doc_id, n_tokens, seq_id, seq_offset): the training window each
     doc STARTS in and its offset there, under concatenate-and-chunk
-    packing in ``order_col`` order. ``token_col`` names a precomputed
+    packing in ``order_col`` order. ``order_col`` must be unique per row
+    (ties make the running sum order-ambiguous in ANY engine, the oracle
+    included). ``token_col`` names a precomputed
     token-count column; without it, whitespace tokens of ``text`` are
     counted (the token_count convention)."""
     spark = docs.sparkSession
