@@ -133,7 +133,110 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_training_pipeline_packed(spark, sf_dir):
+    """Round-5 capstone composition — the corpus-to-training-batches
+    pipeline using the CLUSTER form of near-dup dedup and the sequence
+    packer:
+
+        documents
+          -> quality filter + eval-holdout exclusion   (as v1)
+          -> exact dedup                               (as v1)
+          -> near-dup CLUSTER dedup   (connected components over the
+             survivor-restricted LSH pair graph; keep each cluster's
+             canonical doc — the principled version of v1's
+             drop-the-higher-pair-id rule: transitive near-dup chains
+             collapse to ONE survivor instead of whichever pair
+             orientation happened to fire)
+          -> sequence packing         (two-phase prefix sum into
+             SEQ_LEN-token training windows)
+
+    Output: one row per surviving doc with its training-window layout
+    (doc_id, n_tokens, seq_id, seq_offset). Fully DuckDB-oracled — the
+    oracle chains the same quality/dedup CTEs into a recursive-CTE
+    min-label clustering and an ANSI window cumsum."""
+    from .cluster import dedup_clusters
+    from .dedupe import N_EVAL_DOCS
+    from .packing import pack_sequences
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    kept = (
+        d.select("doc_id", "text")
+        .filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= QUALITY_MIN)
+    )
+    canon = (
+        kept.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    kept = kept.join(canon, "doc_id", "left_semi")
+
+    ids_a = kept.select(F.col("doc_id").alias("doc_a"))
+    ids_b = kept.select(F.col("doc_id").alias("doc_b"))
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .join(ids_a, "doc_a", "left_semi")
+        .join(ids_b, "doc_b", "left_semi")
+    )
+    survivors = dedup_clusters(kept, pairs).filter(
+        F.col("is_canonical") == 1
+    )
+    final = kept.join(survivors.select("doc_id"), "doc_id", "left_semi")
+    return pack_sequences(final.select("doc_id", "text")).orderBy("doc_id")
+
+
+def sql_training_pipeline_packed() -> str:
+    from .dedupe import N_EVAL_DOCS, sql_lsh_pairs_ctes
+    from .packing import SEQ_LEN
+
+    quality = sql_quality_score().strip()
+    return rf"""
+WITH RECURSIVE q AS ({quality}),
+kept0 AS (
+  SELECT d.doc_id, d.text, q.quality
+  FROM documents d JOIN q USING (doc_id)
+  WHERE q.quality >= {QUALITY_MIN} AND d.doc_id >= {N_EVAL_DOCS}),
+canon AS (SELECT min(doc_id) AS doc_id FROM kept0 GROUP BY md5(text)),
+kept AS (SELECT kept0.* FROM kept0 JOIN canon USING (doc_id)),
+{sql_lsh_pairs_ctes()},
+surv_pairs AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN kept a ON a.doc_id = p.doc_a
+  JOIN kept b ON b.doc_id = p.doc_b),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM surv_pairs
+          UNION SELECT doc_b, doc_a FROM surv_pairs),
+walk(u, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seeds
+    UNION
+    SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.u
+    WHERE w.lab < e.v
+),
+lab AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY u),
+final AS (
+  SELECT k.doc_id, k.text FROM kept k LEFT JOIN lab l USING (doc_id)
+  WHERE COALESCE(l.cluster_id, k.doc_id) = k.doc_id),
+t AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS n_tokens
+      FROM final),
+c AS (SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+      FROM t)
+SELECT doc_id, n_tokens,
+       CAST(cb // {SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(cb % {SEQ_LEN} AS BIGINT) AS seq_offset
+FROM c ORDER BY doc_id
+"""
+
+
 def registry() -> dict:
     return {
         "training_pipeline": (q_training_pipeline, sql_training_pipeline()),
+        "training_pipeline_packed": (
+            q_training_pipeline_packed,
+            sql_training_pipeline_packed(),
+        ),
     }
