@@ -467,6 +467,9 @@ class CdcApply:
         emitted neither appear nor absorb survivors."""
         from .functions.cluster import dedup_clusters
 
+        # ONE lake scan: the live hash set feeds both the pair filter and
+        # the label join (same single-evaluation rule as
+        # neardups(live_only=True), which this inlines to share the frame)
         live_ids = (
             self.lake_for(table)
             .refresh()
@@ -476,8 +479,23 @@ class CdcApply:
                     "doc_id"
                 )
             )
+            .localCheckpoint(eager=False)
         )
-        pairs = self.neardups(table, live_only=True)
+        pairs = (
+            self._neardups_lake(table)
+            .refresh()
+            .read()
+            .join(
+                live_ids.select(F.col("doc_id").alias("doc_a")),
+                ["doc_a"],
+                "semi",
+            )
+            .join(
+                live_ids.select(F.col("doc_id").alias("doc_b")),
+                ["doc_b"],
+                "semi",
+            )
+        )
         return dedup_clusters(live_ids, pairs)
 
     def _update_neardup_index(
