@@ -2,7 +2,7 @@
 
 ``entry`` runs the flagship CDC materialization at sf0.001; ``queries`` /
 ``oracle_sql`` expose every batch-expressible operator from SURVEY.md §2
-plus the training-data ops — ALL 46 paired with DuckDB-runnable ANSI SQL
+plus the training-data ops — ALL 47 paired with DuckDB-runnable ANSI SQL
 (column names aligned on both sides; even the Arrow mapInPandas multimodal
 path is oracled via its portable integer fake decode). Streaming-only ops
 (exactly-once commit protocol, stateful gap monitor, the postgres-logical

@@ -281,6 +281,63 @@ ORDER BY doc_a, doc_b
 """
 
 
+def q_minhash_jaccard_pairs(spark, sf_dir):
+    """LSH candidate pairs annotated with the MinHash Jaccard ESTIMATE
+    (matching signature components / k) — the thresholding input an
+    actual dedup pass applies to the candidate set before clustering.
+    Integer space (n_match, jaccard_x1e4) so the cross-engine hash stays
+    exact. Shape: the two signature lookups are equi-joins keyed by the
+    pair's doc ids, so cost is O(pairs), and the component comparison is
+    a flat column expression inside codegen."""
+    sig = minhash_signature(
+        _docs(spark, sf_dir).select("doc_id", "text"), K_MINHASH
+    )
+    pairs = q_minhash_lsh_pairs(spark, sf_dir, k=K_MINHASH, n_bands=BANDS)
+    a = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"mh{i}").alias(f"_a{i}") for i in range(K_MINHASH)],
+    )
+    b = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"mh{i}").alias(f"_b{i}") for i in range(K_MINHASH)],
+    )
+    n_match = sum(
+        [
+            F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            for i in range(K_MINHASH)
+        ],
+        F.lit(0),
+    ).cast("long")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_match.alias("n_match"),
+            F.expr(
+                f"CAST((({' + '.join(f'CASE WHEN _a{i} = _b{i} THEN 1 ELSE 0 END' for i in range(K_MINHASH))}) * 10000) DIV {K_MINHASH} AS BIGINT)"
+            ).alias("jaccard_x1e4"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def sql_minhash_jaccard_pairs() -> str:
+    match = " + ".join(
+        f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END"
+        for i in range(K_MINHASH)
+    )
+    return f"""
+WITH {sql_lsh_pairs_ctes()}
+SELECT p.doc_a, p.doc_b,
+       CAST({match} AS BIGINT) AS n_match,
+       CAST(({match}) * 10000 // {K_MINHASH} AS BIGINT) AS jaccard_x1e4
+FROM pairs p JOIN sig a ON a.doc_id = p.doc_a JOIN sig b ON b.doc_id = p.doc_b
+ORDER BY doc_a, doc_b
+"""
+
+
 # ----------------------------------------------------------------- simhash
 #: the 63 signature bits come from 3 chained rehashes of the ~30-bit token
 #: poly hash (h1=h, h2=(h1*h1+11)%MOD, h3=(h2*h1+17)%MOD), 21 low bits each
@@ -644,6 +701,10 @@ def registry() -> dict:
         "decontaminate": (q_decontaminate, sql_decontaminate()),
         "minhash_signature": (q_minhash_signature, sql_minhash_signature()),
         "minhash_lsh_pairs": (q_minhash_lsh_pairs, sql_minhash_lsh_pairs()),
+        "minhash_jaccard_pairs": (
+            q_minhash_jaccard_pairs,
+            sql_minhash_jaccard_pairs(),
+        ),
         "simhash": (q_simhash, sql_simhash()),
         "simhash_neardup_pairs": (
             q_simhash_neardup_pairs,

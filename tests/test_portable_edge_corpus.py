@@ -29,6 +29,7 @@ QUERIES = [
     "exact_dedup",
     "minhash_signature",
     "minhash_lsh_pairs",
+    "minhash_jaccard_pairs",
     "simhash",
     "simhash_neardup_pairs",
     "ngram_jaccard_pairs",
