@@ -6,6 +6,7 @@ from __future__ import annotations
 
 def registry() -> dict:
     from . import (
+        cleaning,
         cluster,
         dedupe,
         dedupe_index,
@@ -19,7 +20,7 @@ def registry() -> dict:
     )
 
     out: dict = {}
-    for mod in (text, dedupe, dedupe_index, cluster, similarity, multimodal,
-                temporal, sampling, packing, pipeline):
+    for mod in (text, cleaning, dedupe, dedupe_index, cluster, similarity,
+                multimodal, temporal, sampling, packing, pipeline):
         out.update(mod.registry())
     return out

@@ -219,7 +219,55 @@ ORDER BY doc_id
 """
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, made
+    deterministic): embedding-cosine near-dup pairs (multi-band hyperplane
+    LSH blocking, exact-cosine confirmed) are clustered by connected
+    components and exactly one vector per semantic cluster — the minimum
+    vec_id — survives as canonical. The same engine pieces as the text
+    path (``embedding_neardup_pairs`` + ``connected_components``), composed
+    over the embeddings table: at 100 TB the pair generation is bucketed
+    equi-joins and the clustering is O(log^2 n) key-partitioned rounds."""
+    from .similarity import q_embedding_neardup_pairs
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = q_embedding_neardup_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    return (
+        dedup_clusters(e.select(F.col("vec_id").alias("doc_id")), pairs)
+        .select(
+            F.col("doc_id").alias("vec_id"), "cluster_id", "is_canonical"
+        )
+        .orderBy("vec_id")
+    )
+
+
+def sql_semantic_dedup() -> str:
+    from .similarity import EMB_DIM, sql_emb_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {sql_emb_pairs_ctes(EMB_DIM)},
+edges AS (SELECT vec_a AS u, vec_b AS v FROM pairs
+          UNION SELECT vec_b, vec_a FROM pairs),
+walk(u, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seeds
+    UNION
+    SELECT eg.v, w.lab FROM walk w JOIN edges eg ON eg.u = w.u
+    WHERE w.lab < eg.v
+),
+lab AS (SELECT u AS vec_id, MIN(lab) AS cluster_id FROM walk GROUP BY u)
+SELECT emb.vec_id,
+       COALESCE(l.cluster_id, emb.vec_id) AS cluster_id,
+       CAST(CASE WHEN COALESCE(l.cluster_id, emb.vec_id) = emb.vec_id
+            THEN 1 ELSE 0 END AS INT) AS is_canonical
+FROM embeddings emb LEFT JOIN lab l USING (vec_id)
+ORDER BY vec_id
+"""
+
+
 def registry() -> dict:
     return {
         "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
+        "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup()),
     }

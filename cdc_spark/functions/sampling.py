@@ -89,7 +89,71 @@ FROM d GROUP BY source ORDER BY source
 """
 
 
+def q_mixture_plan(spark, sf_dir):
+    """Temperature-scaled source mixture planning (the multilingual /
+    multi-source re-weighting rule, alpha = 0.5): each source's sampling
+    weight is proportional to sqrt(its token mass), flattening the natural
+    distribution so small sources are up-weighted. All integer space —
+    isqrt per source, then basis-point weights and per-source token
+    targets by integer division — so the DuckDB oracle is hash-exact.
+
+    Plan shape: ONE partial-aggregated groupBy(source); the two corpus
+    totals are an O(sources) control-plane read folded back as literals
+    (never a single-partition exchange or a corpus-wide window)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    per = (
+        d.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ntok).alias("n_tokens"),
+        )
+        .withColumn(
+            "isqrt_tokens",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double"))).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("isqrt_tokens").alias("s"), F.sum("n_tokens").alias("t")
+    ).head()
+    isq_tot, tok_tot = int(tot["s"]), int(tot["t"])
+    return per.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "isqrt_tokens",
+        F.expr(f"isqrt_tokens * 1000000 DIV {isq_tot}")
+        .cast("long")
+        .alias("weight_x1e6"),
+        F.expr(
+            f"(isqrt_tokens * 1000000 DIV {isq_tot}) * {tok_tot} DIV 1000000"
+        )
+        .cast("long")
+        .alias("target_tokens"),
+    ).orderBy("source")
+
+
+def sql_mixture_plan() -> str:
+    return r"""
+WITH per AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS n_tokens
+  FROM documents GROUP BY source),
+w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
+             AS isqrt_tokens FROM per),
+tot AS (SELECT CAST(sum(isqrt_tokens) AS BIGINT) AS s,
+               CAST(sum(n_tokens) AS BIGINT) AS t FROM w)
+SELECT source, n_docs, n_tokens, isqrt_tokens,
+       CAST(isqrt_tokens * 1000000 // s AS BIGINT) AS weight_x1e6,
+       CAST((isqrt_tokens * 1000000 // s) * t // 1000000 AS BIGINT)
+           AS target_tokens
+FROM w, tot ORDER BY source
+"""
+
+
 def registry() -> dict:
     return {
         "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
+        "mixture_plan": (q_mixture_plan, sql_mixture_plan()),
     }

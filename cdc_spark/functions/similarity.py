@@ -673,26 +673,35 @@ def q_embedding_neardup_pairs(spark, sf_dir, bits: int | None = None):
     )
 
 
-def sql_embedding_neardup_pairs(dim: int) -> str:
+def sql_emb_pairs_ctes(dim: int) -> str:
+    """The embedding near-dup pair pipeline as a CTE chain ending in
+    ``pairs(vec_a, vec_b, cosine)`` — shared by the pair query's oracle and
+    the semantic-dedup recursive-CTE oracle (mirrors
+    ``dedupe.sql_lsh_pairs_ctes``)."""
     band_selects = " UNION ALL ".join(
         f"SELECT vec_id, v, {band} AS band, "
         f"CAST({_band_bucket_sql(dim, band)} AS INT) AS bucket FROM e"
         for band in range(EMB_BANDS)
     )
     cos = _duck_cos_expr("av.v", "cv.v", 4)
-    return f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    return f"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 banded0 AS ({band_selects}),
 ok AS (SELECT band, bucket FROM banded0 GROUP BY band, bucket
        HAVING count(*) <= {MAX_BUCKET_DOCS}),
-banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bucket))
-SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cosine
-FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
-  AND a.vec_id < c.vec_id
-JOIN e av ON av.vec_id = a.vec_id
-JOIN e cv ON cv.vec_id = c.vec_id
-WHERE {cos} >= {NEARDUP_COSINE}
-ORDER BY vec_a, vec_b
+banded AS (SELECT banded0.* FROM banded0 JOIN ok USING (band, bucket)),
+pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b, {cos} AS cosine
+  FROM banded a JOIN banded c ON a.band = c.band AND a.bucket = c.bucket
+    AND a.vec_id < c.vec_id
+  JOIN e av ON av.vec_id = a.vec_id
+  JOIN e cv ON cv.vec_id = c.vec_id
+  WHERE {cos} >= {NEARDUP_COSINE})"""
+
+
+def sql_embedding_neardup_pairs(dim: int) -> str:
+    return f"""
+WITH {sql_emb_pairs_ctes(dim)}
+SELECT vec_a, vec_b, cosine FROM pairs ORDER BY vec_a, vec_b
 """
 
 

@@ -40,6 +40,10 @@ QUERIES = [
     "sample_stratified",
     "repetition_stats",
     "dedup_clusters",
+    "pii_redact",
+    "chunk_dedup",
+    "dup_ngram_profile",
+    "mixture_plan",
 ]
 
 

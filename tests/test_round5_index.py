@@ -142,9 +142,6 @@ def test_update_io_is_pruned_and_broadcast(spark, tmpdir_factory_clean):
     assert 0 < st["doc_lookup"]["files_read"] < st["doc_lookup"][
         "files_total"
     ]
-    assert 0 < st["postings_lookup"]["files_read"] < st[
-        "postings_lookup"
-    ]["files_total"]
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     # no operator may funnel DATA through one task; the only permitted
@@ -157,6 +154,22 @@ def test_update_io_is_pruned_and_broadcast(spark, tmpdir_factory_clean):
             plan[max(0, m.start() - 2000):m.start() + 2000]
         )
     assert (7, 3000) in _pairs(pairs)
+    # postings-side pruning, asserted on a 1-doc probe batch so it is
+    # DETERMINISTIC: one doc carries at most n_bands distinct band keys —
+    # strictly fewer than the 8 disjoint compacted range shards — so at
+    # least one base file can never intersect the probe set, wherever the
+    # range sampler drew the shard boundaries. (The 2-doc batch above has
+    # up to 8 keys: enough to hit all 8 shards on an unlucky draw, which
+    # made a files_read < files_total assertion on IT order-dependent.)
+    pairs2 = idx.update(
+        _frame(spark, [4000], texts=lambda i: _text(9)), lsn=3, batch_id=2
+    )
+    st = idx.last_update_stats
+    assert st["pruned"]
+    assert 0 < st["postings_lookup"]["files_read"] < st[
+        "postings_lookup"
+    ]["files_total"]
+    assert (9, 4000) in _pairs(pairs2)
 
 
 def test_autosize_at_creation_and_pinned_reopen(
