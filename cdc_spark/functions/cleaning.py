@@ -291,9 +291,135 @@ FROM j GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# self-trained bigram LM surprisal (the CCNet / KenLM perplexity filter)
+# ---------------------------------------------------------------------------
+
+#: interpolation weight of the bigram MLE term (backoff carries the rest)
+LM_LAMBDA = "CAST(0.9 AS DOUBLE)"
+LM_BACKOFF = "CAST(0.1 AS DOUBLE)"
+
+
+def lm_surprisal(docs, text_col: str = "text"):
+    """(doc_id, n_tokens, avg_surprisal_x1e6): per-document mean token
+    surprisal under an interpolated bigram LM *trained on the corpus
+    itself* — the CCNet/KenLM-style perplexity quality filter
+    (Wenzek et al. 2020), self-contained so no external model file is
+    needed. High surprisal = unusual token sequences (boilerplate noise,
+    lorem soup); low = fluent in-distribution text.
+
+    Model: ``p(w | u) = 0.9 * B(u,w)/U(u) + 0.1 * U(w)/T`` (document-first
+    tokens score on the unigram term alone), where ``U`` are unigram
+    counts, ``B`` bigram counts, ``T`` the corpus token total. ``B <= U``
+    and ``U <= T`` so ``p`` is always in ``(0, 1]``.
+
+    Per-token surprisal is floored into integer micro-nats
+    (``floor(-ln(p) * 1e6)``) BEFORE summing: double additions are not
+    associative, so summing floats across rows would make the result
+    depend on partition order and diverge from the sequential DuckDB
+    oracle — integer sums are exact and order-free. The single ``ln`` is
+    computed from bit-identical integer ratios in both engines.
+
+    100 TB shape: two partial-aggregated groupBys build the model (vocab-
+    and bigram-vocab-sized — tiny next to the corpus), then three
+    equi-joins score the exploded token stream. Zipf-hot tokens skew the
+    join keys; the model side has ONE row per key so AQE's skew split
+    handles it. ``T`` is one O(1) control-plane read."""
+    t = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t)),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("cur"),
+                    F.when(i > 1, F.element_at(t, i - 1)).alias("prev"),
+                ),
+            )
+        ).alias("g"),
+    ).select("doc_id", "g.cur", "g.prev")
+    uni = toks.groupBy("cur").agg(F.count("*").alias("u_cur"))
+    # T = corpus token total (== sum(u_cur)); one cheap scan-level agg,
+    # folded back into the scoring expression as a literal
+    total = int(docs.agg(F.sum(F.size(t))).head()[0])
+    big = (
+        toks.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("b"))
+    )
+    scored = (
+        toks.join(uni, "cur")
+        .join(
+            uni.select(F.col("cur").alias("prev"), F.col("u_cur").alias("u_prev")),
+            "prev",
+            "left",
+        )
+        .join(big, ["prev", "cur"], "left")
+        .withColumn(
+            "p",
+            F.expr(
+                f"CASE WHEN prev IS NULL"
+                f" THEN CAST(u_cur AS DOUBLE) / CAST({total} AS DOUBLE)"
+                f" ELSE {LM_LAMBDA} * (CAST(coalesce(b, 0) AS DOUBLE)"
+                f"                     / CAST(u_prev AS DOUBLE))"
+                f"    + {LM_BACKOFF} * (CAST(u_cur AS DOUBLE)"
+                f"                      / CAST({total} AS DOUBLE)) END"
+            ),
+        )
+        .withColumn(
+            "s_x1e6",
+            F.expr("CAST(floor((-ln(p)) * CAST(1000000 AS DOUBLE)) AS BIGINT)"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr("sum(s_x1e6) DIV count(*)").cast("long").alias(
+            "avg_surprisal_x1e6"
+        ),
+    )
+
+
+def q_lm_surprisal(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_surprisal(d.select("doc_id", "text")).orderBy("doc_id")
+
+
+def sql_lm_surprisal() -> str:
+    return rf"""
+WITH toks0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+               FROM documents),
+pos AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks0),
+toks AS (SELECT doc_id, t[i] AS cur,
+                CASE WHEN i > 1 THEN t[i-1] END AS prev
+         FROM pos),
+uni AS (SELECT cur, count(*) AS u_cur FROM toks GROUP BY cur),
+tot AS (SELECT CAST(sum(u_cur) AS BIGINT) AS total FROM uni),
+big AS (SELECT prev, cur, count(*) AS b FROM toks
+        WHERE prev IS NOT NULL GROUP BY prev, cur),
+sc AS (
+  SELECT toks.doc_id,
+         CASE WHEN toks.prev IS NULL
+              THEN CAST(uni.u_cur AS DOUBLE) / CAST(tot.total AS DOUBLE)
+              ELSE {LM_LAMBDA} * (CAST(coalesce(big.b, 0) AS DOUBLE)
+                                  / CAST(up.u_cur AS DOUBLE))
+                 + {LM_BACKOFF} * (CAST(uni.u_cur AS DOUBLE)
+                                   / CAST(tot.total AS DOUBLE)) END AS p
+  FROM toks
+  JOIN uni USING (cur)
+  CROSS JOIN tot
+  LEFT JOIN uni up ON up.cur = toks.prev
+  LEFT JOIN big ON big.prev = toks.prev AND big.cur = toks.cur)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CAST(floor((-ln(p)) * CAST(1000000 AS DOUBLE)) AS BIGINT))
+            // count(*) AS BIGINT) AS avg_surprisal_x1e6
+FROM sc GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def registry() -> dict:
     return {
         "pii_redact": (q_pii_redact, sql_pii_redact()),
         "chunk_dedup": (q_chunk_dedup, sql_chunk_dedup()),
         "dup_ngram_profile": (q_dup_ngram_profile, sql_dup_ngram_profile()),
+        "lm_surprisal": (q_lm_surprisal, sql_lm_surprisal()),
     }

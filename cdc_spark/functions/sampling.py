@@ -133,9 +133,12 @@ def q_mixture_plan(spark, sf_dir):
     ).orderBy("source")
 
 
-def sql_mixture_plan() -> str:
-    return r"""
-WITH per AS (
+def sql_mixture_ctes() -> str:
+    """The mixture-plan pipeline as a CTE chain ending in
+    ``plan(source, n_docs, n_tokens, isqrt_tokens, weight_x1e6,
+    target_tokens)`` — shared by the plan query's oracle and the
+    mixture-sample oracle."""
+    return r"""per AS (
   SELECT source, count(*) AS n_docs,
          CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
              AS n_tokens
@@ -143,12 +146,94 @@ WITH per AS (
 w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT)
              AS isqrt_tokens FROM per),
 tot AS (SELECT CAST(sum(isqrt_tokens) AS BIGINT) AS s,
-               CAST(sum(n_tokens) AS BIGINT) AS t FROM w)
-SELECT source, n_docs, n_tokens, isqrt_tokens,
-       CAST(isqrt_tokens * 1000000 // s AS BIGINT) AS weight_x1e6,
-       CAST((isqrt_tokens * 1000000 // s) * t // 1000000 AS BIGINT)
-           AS target_tokens
-FROM w, tot ORDER BY source
+               CAST(sum(n_tokens) AS BIGINT) AS t FROM w),
+plan AS (
+  SELECT source, n_docs, n_tokens, isqrt_tokens,
+         CAST(isqrt_tokens * 1000000 // s AS BIGINT) AS weight_x1e6,
+         CAST((isqrt_tokens * 1000000 // s) * t // 1000000 AS BIGINT)
+             AS target_tokens
+  FROM w, tot)"""
+
+
+def sql_mixture_plan() -> str:
+    return f"""
+WITH {sql_mixture_ctes()}
+SELECT * FROM plan ORDER BY source
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Materialize the mixture plan as a deterministic sampler: each
+    source is replayed ``n_epochs = target_tokens DIV n_tokens`` full
+    times (up-weighted small sources repeat, DoReMi-style), plus one
+    FRACTIONAL pass in which a doc is kept iff the portable hash of
+    ``'mix:' || source || ':' || doc_id`` lands under the per-source
+    remainder rate — so ``achieved_tokens`` tracks ``target_tokens``
+    without replacement randomness or ``rand()``.
+
+    Plan shape: the plan side is O(sources) rows broadcast onto the doc
+    scan; membership is a map-side integer predicate; the report is one
+    partial-aggregated groupBy. Nothing new shuffles at 100 TB."""
+    plan = q_mixture_plan(spark, sf_dir).select(
+        "source",
+        "n_tokens",
+        "target_tokens",
+        F.expr("target_tokens DIV n_tokens").cast("long").alias("n_epochs"),
+        F.expr("(target_tokens % n_tokens) * 1000000 DIV n_tokens")
+        .cast("long")
+        .alias("frac_rate_x1e6"),
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = "concat('mix:', source, ':', CAST(doc_id AS STRING))"
+    member = F.pmod(F.expr(spark_poly_hash(key)), F.lit(1_000_000))
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    j = d.select("doc_id", "source", ntok.alias("ntok")).join(
+        F.broadcast(plan), "source"
+    )
+    kept = (member < F.col("frac_rate_x1e6")).cast("long")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.max("n_epochs").alias("n_epochs"),
+            F.max("frac_rate_x1e6").alias("frac_rate_x1e6"),
+            F.sum(kept).alias("frac_docs"),
+            (
+                F.max("n_epochs") * F.max("n_tokens") + F.sum(kept * F.col("ntok"))
+            )
+            .cast("long")
+            .alias("achieved_tokens"),
+            F.max("target_tokens").alias("target_tokens"),
+        )
+        .orderBy("source")
+    )
+
+
+def sql_mixture_sample() -> str:
+    key = "'mix:' || source || ':' || CAST(doc_id AS VARCHAR)"
+    member = f"{duck_poly_hash(key)} % 1000000"
+    return rf"""
+WITH {sql_mixture_ctes()},
+p2 AS (SELECT source, n_tokens, target_tokens,
+              target_tokens // n_tokens AS n_epochs,
+              (target_tokens % n_tokens) * 1000000 // n_tokens
+                  AS frac_rate_x1e6
+       FROM plan),
+d AS (SELECT doc_id, source,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                 AS ntok,
+             CASE WHEN ({member}) < p2.frac_rate_x1e6 THEN 1 ELSE 0 END
+                 AS kept,
+             p2.n_epochs, p2.frac_rate_x1e6, p2.n_tokens, p2.target_tokens
+      FROM documents JOIN p2 USING (source))
+SELECT source, count(*) AS n_docs,
+       CAST(max(n_epochs) AS BIGINT) AS n_epochs,
+       CAST(max(frac_rate_x1e6) AS BIGINT) AS frac_rate_x1e6,
+       CAST(sum(kept) AS BIGINT) AS frac_docs,
+       CAST(max(n_epochs) * max(n_tokens) + sum(kept * ntok) AS BIGINT)
+           AS achieved_tokens,
+       CAST(max(target_tokens) AS BIGINT) AS target_tokens
+FROM d GROUP BY source ORDER BY source
 """
 
 
@@ -156,4 +241,5 @@ def registry() -> dict:
     return {
         "sample_stratified": (q_sample_stratified, sql_sample_stratified()),
         "mixture_plan": (q_mixture_plan, sql_mixture_plan()),
+        "mixture_sample": (q_mixture_sample, sql_mixture_sample()),
     }
