@@ -8,6 +8,7 @@ def registry() -> dict:
     from . import (
         cleaning,
         cluster,
+        corpus,
         dedupe,
         dedupe_index,
         multimodal,
@@ -20,7 +21,7 @@ def registry() -> dict:
     )
 
     out: dict = {}
-    for mod in (text, cleaning, dedupe, dedupe_index, cluster, similarity,
+    for mod in (text, cleaning, corpus, dedupe, dedupe_index, cluster, similarity,
                 multimodal, temporal, sampling, packing, pipeline):
         out.update(mod.registry())
     return out

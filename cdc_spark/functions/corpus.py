@@ -1,0 +1,292 @@
+"""Corpus-level analytics for training-data curation: tf-idf keyword
+extraction, cross-source contamination overlap, and exact length-percentile
+profiles. Pure column expressions + key-partitioned aggregations — every
+derived value is integer-space so the DuckDB oracle hash-matches regardless
+of partition order.
+
+Reference parity note: the reference engine (getsentry/cdc) stops at the
+change-stream boundary; these operators extend the lake side the way its
+downstream consumers (Snuba-style analytics) would query the materialized
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ._portable import duck_shingles, spark_shingles
+
+#: terms reported per document by tfidf_topk.
+TFIDF_TOPK = 3
+
+#: shingle width for the cross-source overlap matrix (same width as the
+#: MinHash family so the two contamination views agree on what "shared
+#: text" means).
+OVERLAP_SHINGLE_N = 5
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+
+def tfidf_topk(docs, text_col: str = "text", k: int = TFIDF_TOPK):
+    """(doc_id, rank, tok, tf, df, score_x1e6): the ``k`` most distinctive
+    whitespace tokens per document under tf-idf with
+    ``idf = ln((N + 1) / (df + 1))``.
+
+    The idf is floored into integer micro-nats BEFORE multiplying by tf,
+    so the ranking key ``score_x1e6 = tf * floor(idf * 1e6)`` is a BIGINT
+    — float ordering never decides a rank, and ties break on token text
+    ascending, making the top-k bit-reproducible across engines and
+    partitionings (the same integer-space discipline as
+    ``cleaning.lm_surprisal``).
+
+    100 TB shape: explode → two partial-aggregated groupBys (tf keyed
+    (doc_id, tok), df keyed tok — both map-side combined), one equi-join
+    of tf against the vocabulary-sized df frame (Zipf-hot tokens have ONE
+    df row each, AQE splits the probe side), and a row_number window
+    partitioned by doc_id — high-cardinality partitions, no skew funnel.
+    N is one O(1) control-plane read."""
+    n_docs = int(docs.count())
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    idf = F.expr(
+        f"CAST(floor(ln(CAST({n_docs + 1} AS DOUBLE)"
+        f" / (CAST(df AS DOUBLE) + CAST(1 AS DOUBLE)))"
+        f" * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    )
+    scored = tf.join(df, "tok").withColumn(
+        "score_x1e6", (F.col("tf") * idf).cast("long")
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_x1e6").desc(), F.col("tok").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "tok", "tf", "df", "score_x1e6")
+    )
+
+
+def q_tfidf_topk(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_topk(d.select("doc_id", "text")).orderBy("doc_id", "rank")
+
+
+def sql_tfidf_topk(k: int = TFIDF_TOPK) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok),
+df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+n AS (SELECT count(*) AS n_docs FROM documents),
+sc AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(tf.tf * CAST(floor(ln(CAST(n.n_docs + 1 AS DOUBLE)
+                                    / (CAST(df.df AS DOUBLE)
+                                       + CAST(1 AS DOUBLE)))
+                                 * CAST(1000000 AS DOUBLE)) AS BIGINT)
+              AS BIGINT) AS score_x1e6
+  FROM tf JOIN df USING (tok) CROSS JOIN n),
+r AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY score_x1e6 DESC, tok ASC)
+                 AS BIGINT) AS rank
+  FROM sc)
+SELECT doc_id, rank, tok, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+       score_x1e6
+FROM r WHERE rank <= {k} ORDER BY doc_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# cross-source contamination overlap matrix
+# ---------------------------------------------------------------------------
+
+
+def source_overlap(docs, text_col: str = "text", n: int = OVERLAP_SHINGLE_N):
+    """(source_a, source_b, shingles_a, shingles_b, shared, jaccard_x1e6):
+    character-``n``-gram set overlap between every pair of sources — the
+    corpus-level contamination view (which sources republish each other's
+    text) that complements the per-document pair ops in ``dedupe``.
+
+    100 TB shape: one explode → a partial-aggregated DISTINCT keyed
+    (source, shingle) — the only corpus-sized shuffle — then a self
+    equi-join on the shingle. Each shingle appears in at most
+    ``n_sources`` rows per side, so join fan-out per key is bounded by a
+    constant (sources², not docs²); the result is sources²/2 rows. No
+    all-pairs stage ever touches documents."""
+    sh = docs.select(
+        "source",
+        F.explode(F.expr(spark_shingles(text_col, n))).alias("sh"),
+    ).distinct()
+    sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
+    a = sh.select(F.col("source").alias("source_a"), "sh")
+    b = sh.select(F.col("source").alias("source_b"), "sh")
+    shared = (
+        a.join(b, "sh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(
+            F.broadcast(sizes.select(F.col("source").alias("source_a"),
+                                     F.col("n_sh").alias("shingles_a"))),
+            "source_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("source").alias("source_b"),
+                                     F.col("n_sh").alias("shingles_b"))),
+            "source_b",
+        )
+        .select(
+            "source_a",
+            "source_b",
+            "shingles_a",
+            "shingles_b",
+            "shared",
+            F.expr("shared * 1000000 DIV (shingles_a + shingles_b - shared)")
+            .cast("long")
+            .alias("jaccard_x1e6"),
+        )
+    )
+
+
+def q_source_overlap(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return source_overlap(d.select("source", "text")).orderBy(
+        "source_a", "source_b"
+    )
+
+
+def sql_source_overlap(n: int = OVERLAP_SHINGLE_N) -> str:
+    return rf"""
+WITH sh AS (
+  SELECT DISTINCT source, unnest({duck_shingles('text', n)}) AS sh
+  FROM documents),
+sizes AS (SELECT source, count(*) AS n_sh FROM sh GROUP BY source),
+shared AS (
+  SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+  GROUP BY a.source, b.source)
+SELECT source_a, source_b,
+       CAST(sa.n_sh AS BIGINT) AS shingles_a,
+       CAST(sb.n_sh AS BIGINT) AS shingles_b,
+       CAST(shared AS BIGINT) AS shared,
+       CAST(shared * 1000000 // (sa.n_sh + sb.n_sh - shared) AS BIGINT)
+           AS jaccard_x1e6
+FROM shared
+JOIN sizes sa ON sa.source = source_a
+JOIN sizes sb ON sb.source = source_b
+ORDER BY source_a, source_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source length profile (exact percentiles, histogram-CDF)
+# ---------------------------------------------------------------------------
+
+
+def length_profile(docs, text_col: str = "text"):
+    """(source, n_docs, total_tokens, min_tokens, max_tokens, p50_tokens,
+    p90_tokens): exact token-length distribution per source, with the
+    percentiles defined on integer ranks — p50 is the value at rank
+    ``(n + 1) DIV 2`` (lower median), p90 at rank ``ceil(0.9 * n)`` — so
+    no float interpolation enters the result.
+
+    100 TB shape: exact percentiles WITHOUT a per-source global sort
+    (a window over 20 source partitions would funnel billions of rows
+    through 20 tasks). Instead: groupBy (source, ntok) histogram — the
+    frame is sources × distinct-lengths, bounded by max document length,
+    NOT corpus size — then a cumulative sum over that small frame and a
+    rank probe. The only corpus-sized operation is the partial-aggregated
+    histogram groupBy."""
+    ntok = F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long")
+    hist = (
+        docs.select("source", ntok.alias("ntok"))
+        .groupBy("source", "ntok")
+        .agg(F.count("*").alias("c"), F.sum("ntok").alias("s"))
+    )
+    w = Window.partitionBy("source").orderBy("ntok")
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    per = cum.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.sum("s").cast("long").alias("total_tokens"),
+        F.min("ntok").cast("long").alias("min_tokens"),
+        F.max("ntok").cast("long").alias("max_tokens"),
+    )
+    ranks = per.select(
+        "source",
+        F.expr("(n_docs + 1) DIV 2").alias("r50"),
+        F.expr("(9 * n_docs + 9) DIV 10").alias("r90"),
+    )
+    probes = (
+        cum.join(F.broadcast(ranks), "source")
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("cum") >= F.col("r50"), F.col("ntok")))
+            .cast("long")
+            .alias("p50_tokens"),
+            F.min(F.when(F.col("cum") >= F.col("r90"), F.col("ntok")))
+            .cast("long")
+            .alias("p90_tokens"),
+        )
+    )
+    return per.join(probes, "source").select(
+        "source", "n_docs", "total_tokens", "min_tokens", "max_tokens",
+        "p50_tokens", "p90_tokens",
+    )
+
+
+def q_length_profile(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_profile(d.select("source", "text")).orderBy("source")
+
+
+def sql_length_profile() -> str:
+    return r"""
+WITH lens AS (
+  SELECT source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ntok
+  FROM documents),
+hist AS (SELECT source, ntok, count(*) AS c, sum(ntok) AS s
+         FROM lens GROUP BY source, ntok),
+cum AS (SELECT *, sum(c) OVER (PARTITION BY source ORDER BY ntok) AS cum
+        FROM hist),
+per AS (SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_docs,
+               CAST(sum(s) AS BIGINT) AS total_tokens,
+               CAST(min(ntok) AS BIGINT) AS min_tokens,
+               CAST(max(ntok) AS BIGINT) AS max_tokens
+        FROM hist GROUP BY source),
+ranks AS (SELECT source, (n_docs + 1) // 2 AS r50,
+                 (9 * n_docs + 9) // 10 AS r90
+          FROM per),
+probes AS (
+  SELECT cum.source,
+         CAST(min(CASE WHEN cum >= r50 THEN ntok END) AS BIGINT)
+             AS p50_tokens,
+         CAST(min(CASE WHEN cum >= r90 THEN ntok END) AS BIGINT)
+             AS p90_tokens
+  FROM cum JOIN ranks ON ranks.source = cum.source
+  GROUP BY cum.source)
+SELECT source, n_docs, total_tokens, min_tokens, max_tokens,
+       p50_tokens, p90_tokens
+FROM per JOIN probes USING (source) ORDER BY source
+"""
+
+
+def registry() -> dict:
+    return {
+        "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk()),
+        "source_overlap": (q_source_overlap, sql_source_overlap()),
+        "length_profile": (q_length_profile, sql_length_profile()),
+    }
