@@ -341,7 +341,7 @@ def lm_surprisal(docs, text_col: str = "text"):
     uni = toks.groupBy("cur").agg(F.count("*").alias("u_cur"))
     # T = corpus token total (== sum(u_cur)); one cheap scan-level agg,
     # folded back into the scoring expression as a literal
-    total = int(docs.agg(F.sum(F.size(t))).head()[0])
+    total = int(docs.agg(F.sum(F.size(t))).head()[0] or 0)
     big = (
         toks.filter(F.col("prev").isNotNull())
         .groupBy("prev", "cur")
