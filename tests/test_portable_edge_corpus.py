@@ -44,6 +44,12 @@ QUERIES = [
     "chunk_dedup",
     "dup_ngram_profile",
     "mixture_plan",
+    "mixture_sample",
+    "lm_surprisal",
+    "tfidf_topk",
+    "source_overlap",
+    "length_profile",
+    "pack_sequences",
 ]
 
 
