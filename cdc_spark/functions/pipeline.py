@@ -232,6 +232,124 @@ FROM c ORDER BY doc_id
 """
 
 
+def q_curation_funnel(spark, sf_dir):
+    """(stage, n_docs, n_tokens): the survival funnel through the prep
+    pipeline — raw corpus, quality+holdout gate, exact dedup, near-dup
+    cluster dedup, decontamination — the report a curation team reads to
+    see where its tokens went.
+
+    Each stage frame feeds two consumers (its own aggregate + the next
+    stage), so stages are localCheckpointed: the corpus is scanned once
+    and every later stage works on the previous stage's materialized
+    survivor set (monotonically shrinking — at 100 TB the expensive
+    shingle/cluster work runs only on quality-surviving exact-uniques).
+    Decontamination is a per-doc predicate against the eval holdout, so
+    filtering the stage-d survivors with the full-corpus contaminated
+    set is exactly the survivor-restricted check."""
+    from .cluster import dedup_clusters
+    from .dedupe import N_EVAL_DOCS, decontaminate_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ntok = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    base = d.select("doc_id", "text", ntok.alias("ntok"))
+
+    def tally(stage, frame):
+        return frame.agg(
+            F.lit(stage).alias("stage"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.coalesce(F.sum("ntok"), F.lit(0)).cast("long").alias("n_tokens"),
+        ).select("stage", "n_docs", "n_tokens")
+
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality")
+    s2 = (
+        base.filter(F.col("doc_id") >= N_EVAL_DOCS)
+        .join(quality, "doc_id")
+        .filter(F.col("quality") >= QUALITY_MIN)
+        .select("doc_id", "text", "ntok")
+        .localCheckpoint(eager=True)
+    )
+    canon = (
+        s2.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s3 = s2.join(canon, "doc_id", "left_semi").localCheckpoint(eager=True)
+    pairs = (
+        q_minhash_lsh_pairs(spark, sf_dir)
+        .join(s3.select(F.col("doc_id").alias("doc_a")), "doc_a", "left_semi")
+        .join(s3.select(F.col("doc_id").alias("doc_b")), "doc_b", "left_semi")
+    )
+    survivors = dedup_clusters(s3, pairs).filter(F.col("is_canonical") == 1)
+    s4 = s3.join(
+        survivors.select("doc_id"), "doc_id", "left_semi"
+    ).localCheckpoint(eager=True)
+    contaminated = decontaminate_pairs(
+        d.select("doc_id", "text").filter(F.col("doc_id") < N_EVAL_DOCS),
+        s4.select("doc_id", "text"),
+    ).select("doc_id").distinct()
+    s5 = s4.join(contaminated, "doc_id", "left_anti")
+
+    out = (
+        tally("a_raw", base)
+        .unionByName(tally("b_quality_holdout", s2))
+        .unionByName(tally("c_exact_dedup", s3))
+        .unionByName(tally("d_neardup_dedup", s4))
+        .unionByName(tally("e_decontaminated", s5))
+    )
+    return out.orderBy("stage")
+
+
+def sql_curation_funnel() -> str:
+    from .dedupe import N_EVAL_DOCS, sql_decontaminate, sql_lsh_pairs_ctes
+
+    quality = sql_quality_score().strip()
+    nt = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    return rf"""
+WITH RECURSIVE q AS ({quality}),
+base AS (SELECT doc_id, text, {nt} AS ntok FROM documents),
+s2 AS (
+  SELECT b.doc_id, b.text, b.ntok
+  FROM base b JOIN q USING (doc_id)
+  WHERE q.quality >= {QUALITY_MIN} AND b.doc_id >= {N_EVAL_DOCS}),
+canon AS (SELECT min(doc_id) AS doc_id FROM s2 GROUP BY md5(text)),
+s3 AS (SELECT s2.* FROM s2 JOIN canon USING (doc_id)),
+{sql_lsh_pairs_ctes()},
+surv_pairs AS (
+  SELECT p.doc_a, p.doc_b FROM pairs p
+  JOIN s3 a ON a.doc_id = p.doc_a
+  JOIN s3 b ON b.doc_id = p.doc_b),
+edges AS (SELECT doc_a AS u, doc_b AS v FROM surv_pairs
+          UNION SELECT doc_b, doc_a FROM surv_pairs),
+walk(u, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seeds
+    UNION
+    SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.u
+    WHERE w.lab < e.v
+),
+lab AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY u),
+s4 AS (SELECT s3.* FROM s3 LEFT JOIN lab l USING (doc_id)
+       WHERE COALESCE(l.cluster_id, s3.doc_id) = s3.doc_id),
+decon AS (SELECT DISTINCT doc_id FROM ({sql_decontaminate().strip()})),
+s5 AS (SELECT s4.* FROM s4 WHERE doc_id NOT IN (SELECT doc_id FROM decon))
+SELECT stage, n_docs, n_tokens FROM (
+  SELECT 'a_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(COALESCE(sum(ntok), 0) AS BIGINT) AS n_tokens FROM base
+  UNION ALL
+  SELECT 'b_quality_holdout', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM s2
+  UNION ALL
+  SELECT 'c_exact_dedup', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM s3
+  UNION ALL
+  SELECT 'd_neardup_dedup', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM s4
+  UNION ALL
+  SELECT 'e_decontaminated', CAST(count(*) AS BIGINT),
+         CAST(COALESCE(sum(ntok), 0) AS BIGINT) FROM s5)
+ORDER BY stage
+"""
+
+
 def registry() -> dict:
     return {
         "training_pipeline": (q_training_pipeline, sql_training_pipeline()),
@@ -239,4 +357,5 @@ def registry() -> dict:
             q_training_pipeline_packed,
             sql_training_pipeline_packed(),
         ),
+        "curation_funnel": (q_curation_funnel, sql_curation_funnel()),
     }
