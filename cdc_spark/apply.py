@@ -498,6 +498,27 @@ class CdcApply:
         )
         return dedup_clusters(live_ids, pairs)
 
+    def corpus_profile(self, table: str, by: str = "lang") -> DataFrame:
+        """Corpus-shape report over the CURRENT lake content: the
+        :func:`~cdc_spark.functions.corpus.length_profile` analytics
+        (n_docs, total/min/max tokens, exact p50/p90 on integer ranks)
+        grouped by the ``by`` column of the live rows — the
+        materialized-corpus view of the same report the batch query runs
+        on a documents table. One lake scan feeds the histogram groupBy;
+        everything downstream is bounded by max document length, not
+        corpus size. Output column ``source`` carries the ``by`` values
+        (the operator's schema is reused verbatim)."""
+        from .functions.corpus import length_profile
+
+        live = self.lake_for(table).refresh().read()
+        docs = live.select(
+            F.coalesce(F.col(by).cast("string"), F.lit("")).alias("source"),
+            F.coalesce(F.col("content").cast("string"), F.lit("")).alias(
+                "text"
+            ),
+        )
+        return length_profile(docs)
+
     def _update_neardup_index(
         self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int,
         truncated: bool = False,
