@@ -15,6 +15,12 @@ Sections (each prints one JSON line; a final line aggregates):
 3. ``embedding`` — clustered vectors at 5k / 50k / 500k with 5-member
    latent near-dup groups: auto band bits (12 / 15 / 18) keep bucket
    occupancy ~constant, so blocked-join cost per doc is flat.
+4. ``corpusops`` (NOT in the default set — run by name) — the corpus
+   analytics ops (lm_surprisal, tfidf_topk, length_profile,
+   source_overlap) on realistic_docs at 5k / 50k / 500k
+   (``CORPUSOPS_SIZES`` overrides): wall time must grow ~linearly with
+   the token count — these are groupBy/join pipelines with no
+   corpus-squared stage.
 
 Run: ``python bench_corpus.py [sections...]`` (default: all). Budget
 ~15-20 min for the full run at local[32]; results are recorded in
@@ -220,6 +226,61 @@ def main() -> None:
             }
             print(json.dumps({f"embedding_n{n}": res[f"n{n}"]}))
         out["embedding"] = res
+
+    # ---------------- 4. corpus analytics ops: growth must track tokens
+    if "corpusops" in sections:
+        from cdc_spark.functions.cleaning import lm_surprisal
+        from cdc_spark.functions.corpus import (
+            length_profile,
+            source_overlap,
+            tfidf_topk,
+        )
+
+        res = {}
+        cwork = tempfile.mkdtemp(prefix="cdc_corpusops_")
+        try:
+            sizes = [
+                int(x)
+                for x in os.environ.get(
+                    "CORPUSOPS_SIZES", "5000,50000,500000"
+                ).split(",")
+            ]
+            for n in sizes:
+                p = os.path.join(cwork, f"n{n}", "documents.parquet")
+                realistic_docs(spark, n).repartition(cpus).write.mode(
+                    "overwrite"
+                ).parquet(p)
+                docs = spark.read.parquet(p)
+                entry = {}
+                for name, fn in (
+                    (
+                        "lm_surprisal",
+                        lambda d: lm_surprisal(d.select("doc_id", "text")),
+                    ),
+                    (
+                        "tfidf_topk",
+                        lambda d: tfidf_topk(d.select("doc_id", "text")),
+                    ),
+                    (
+                        "length_profile",
+                        lambda d: length_profile(d.select("source", "text")),
+                    ),
+                    (
+                        "source_overlap",
+                        lambda d: source_overlap(d.select("source", "text")),
+                    ),
+                ):
+                    t0 = time.time()
+                    rows = fn(docs).count()
+                    entry[name] = {
+                        "rows": rows,
+                        "sec": round(time.time() - t0, 2),
+                    }
+                res[f"n{n}"] = entry
+                print(json.dumps({f"corpusops_n{n}": entry}))
+        finally:
+            shutil.rmtree(cwork, ignore_errors=True)
+        out["corpusops"] = res
 
     print(json.dumps({"bench_corpus": out}))
     spark.stop()
