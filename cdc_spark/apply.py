@@ -519,6 +519,39 @@ class CdcApply:
         )
         return length_profile(docs)
 
+    def export_corpus(
+        self,
+        table: str,
+        path: str,
+        n_shards: int | None = None,
+        seed: str | None = None,
+    ) -> DataFrame:
+        """Export the CURRENT lake content as deterministically
+        pseudo-shuffled training shards (``shard=N`` parquet, rows sorted
+        by ``pos``) — the handoff from the streaming ingest half to a
+        training run. Doc identity is ``xxhash64(key columns)``, the same
+        convention as the :meth:`neardups` pairs lake, so shard layout is
+        stable across re-exports of the same content. Returns the
+        (shard, pos, doc_id) layout. See
+        :func:`cdc_spark.functions.export.write_shards` for the plan
+        shape (portable-hash assignment + two-phase intra-shard rank)."""
+        from .functions.export import N_SHARDS, SHUFFLE_SEED, write_shards
+
+        lake = self.lake_for(table).refresh()
+        live = lake.read()
+        docs = live.select(
+            F.xxhash64(
+                *[F.col(k).cast("string") for k in lake.key]
+            ).alias("doc_id"),
+            "*",
+        )
+        return write_shards(
+            docs,
+            path,
+            n_shards=N_SHARDS if n_shards is None else n_shards,
+            seed=SHUFFLE_SEED if seed is None else seed,
+        )
+
     def _update_neardup_index(
         self, table: str, deduped: DataFrame, lsn_hwm: int, batch_id: int,
         truncated: bool = False,

@@ -11,6 +11,7 @@ def registry() -> dict:
         corpus,
         dedupe,
         dedupe_index,
+        export,
         multimodal,
         packing,
         pipeline,
@@ -18,10 +19,12 @@ def registry() -> dict:
         similarity,
         temporal,
         text,
+        versioning,
     )
 
     out: dict = {}
     for mod in (text, cleaning, corpus, dedupe, dedupe_index, cluster, similarity,
-                multimodal, temporal, sampling, packing, pipeline):
+                multimodal, temporal, sampling, packing, pipeline, export,
+                versioning):
         out.update(mod.registry())
     return out

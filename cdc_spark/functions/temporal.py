@@ -275,9 +275,93 @@ def q_asof_join_cogroup(spark, sf_dir):
     ).orderBy("event_id")
 
 
+#: tumbling rollup window, minutes (epoch-aligned, so 15 | 60)
+ROLLUP_MIN = 15
+
+
+def _rollup_agg(events: "DataFrame", minutes: int) -> "DataFrame":
+    """The shared tumbling-window aggregation used by BOTH the batch query
+    and the streaming surface — every aggregate here must be streaming-safe
+    (count / sum / max support incremental state merge; exact distinct does
+    NOT, which is why the rollup carries no count-distinct column). Money
+    sums in integer cents: double sums are order-dependent, so a
+    cross-engine (and batch-vs-stream) hash match needs integer space."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            F.window(F.col("ts"), f"{minutes} minutes").alias("win"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(cents).alias("value_c"),
+            F.max(cents).alias("vmax_c"),
+        )
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "event_type",
+            "n_events",
+            "value_c",
+            "vmax_c",
+        )
+    )
+
+
+def window_rollup(events, minutes: int = ROLLUP_MIN):
+    """Batch tumbling-window rollup per event type: event count, value sum
+    and max in integer cents. One partial-aggregated groupBy — the hypertable
+    rollup shape: at 100 TB this is a single map-side-combined shuffle on
+    (window, event_type), no windows, no Python."""
+    return _rollup_agg(events, minutes)
+
+
+def stream_window_rollup(
+    events, minutes: int = ROLLUP_MIN, watermark: str = "30 minutes"
+):
+    """The SAME rollup over a STREAMING frame: late rows beyond
+    ``watermark`` are dropped and closed windows emit finalized (append
+    mode) — the Structured Streaming hypertable-rollup surface. Identical
+    aggregation builder as :func:`window_rollup`, so a completed stream's
+    output equals the batch rollup over the non-late rows by construction
+    (asserted in tests/test_stream_rollup.py).
+
+    Watermark fine print (standard microbatch semantics): the watermark is
+    a LOWER bound, propagated with one batch of lag — batch N filters its
+    input with the watermark derived from batches <= N-1, and evicts/emits
+    closed windows with the one derived from batches <= N. A late row
+    landing in the very next batch after the event that advanced the
+    watermark can therefore still be merged; from the batch after that it
+    is dropped."""
+    return _rollup_agg(events.withWatermark("ts", watermark), minutes)
+
+
+def q_window_rollup(spark, sf_dir):
+    """Oracled batch instance over the events table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "ts", "event_type", "value"
+    )
+    return window_rollup(e).orderBy("win_start", "event_type")
+
+
+SQL_WINDOW_ROLLUP = f"""
+SELECT strftime(time_bucket(INTERVAL '{ROLLUP_MIN} minutes', ts,
+                            TIMESTAMP '1970-01-01 00:00:00'),
+                '%Y-%m-%d %H:%M:%S') AS win_start,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c,
+       CAST(max(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS vmax_c
+FROM events
+GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def registry() -> dict:
     return {
         "asof_join": (q_asof_join, SQL_ASOF),
         "asof_join_cogroup": (q_asof_join_cogroup, SQL_ASOF),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
+        "window_rollup": (q_window_rollup, SQL_WINDOW_ROLLUP),
     }

@@ -653,6 +653,18 @@ class LakeTable:
             return live
         return live.select(*[f"`{n}`" for n, _ in self.schema_fields()])
 
+    def diff(self, v_old: int, v_new: int | None = None) -> DataFrame:
+        """Release notes between two retained snapshots: (key..., change_op)
+        where change_op is ``added`` / ``removed`` / ``changed``, comparing
+        the live views of version ``v_old`` and ``v_new`` (None = current).
+        One full-outer equi-join on the table key with map-side payload
+        fingerprints — see :func:`cdc_spark.functions.versioning.frame_diff`."""
+        from .functions.versioning import frame_diff
+
+        old = self.read(version=v_old)
+        new = self.read(version=v_new)
+        return frame_diff(old, new, list(self.key))
+
     # -------------------------------------------------------------- lookups
     def _files_for_key(self, key_value: tuple) -> list[dict]:
         """Manifest files that can contain ``key_value``: the key's hash
