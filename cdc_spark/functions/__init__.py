@@ -11,12 +11,14 @@ def registry() -> dict:
         corpus,
         dedupe,
         dedupe_index,
+        emb_index,
         export,
         multimodal,
         packing,
         pipeline,
         sampling,
         similarity,
+        substring,
         temporal,
         text,
         versioning,
@@ -25,6 +27,6 @@ def registry() -> dict:
     out: dict = {}
     for mod in (text, cleaning, corpus, dedupe, dedupe_index, cluster, similarity,
                 multimodal, temporal, sampling, packing, pipeline, export,
-                versioning):
+                versioning, substring, emb_index):
         out.update(mod.registry())
     return out

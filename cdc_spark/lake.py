@@ -71,7 +71,9 @@ from pyspark.sql import functions as F
 
 _SQL_TYPES = {"string": "STRING", "long": "BIGINT", "double": "DOUBLE",
               "boolean": "BOOLEAN", "int": "INT", "timestamp": "TIMESTAMP",
-              "date": "DATE", "map<string,string>": "MAP<STRING,STRING>"}
+              "date": "DATE", "map<string,string>": "MAP<STRING,STRING>",
+              "array<float>": "ARRAY<FLOAT>",
+              "array<double>": "ARRAY<DOUBLE>"}
 
 _DECIMAL_RE = None  # compiled lazily (module import stays light)
 

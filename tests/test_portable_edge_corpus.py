@@ -52,6 +52,7 @@ QUERIES = [
     "pack_sequences",
     "export_shards",
     "snapshot_diff",
+    "substring_dedup",
     # all 12 edge doc_ids sit inside the eval holdout (doc_id < N_EVAL_DOCS),
     # so the funnel's post-quality stages are EMPTY — this pins the
     # zero-survivor path (COALESCE'd token sums) cross-engine
