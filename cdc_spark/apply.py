@@ -529,10 +529,12 @@ class CdcApply:
         """Export the CURRENT lake content as deterministically
         pseudo-shuffled training shards (``shard=N`` parquet, rows sorted
         by ``pos``) — the handoff from the streaming ingest half to a
-        training run. Doc identity is ``xxhash64(key columns)``, the same
-        convention as the :meth:`neardups` pairs lake, so shard layout is
-        stable across re-exports of the same content. Returns the
-        (shard, pos, doc_id) layout. See
+        training run. Doc identity is ``xxhash64(key columns)`` over the
+        RAW key types — bit-identical to the ids in the :meth:`neardups`
+        pairs lake and :meth:`neardup_clusters` verdicts, so the exported
+        layout joins directly against both. The id rides along as a
+        ``_doc_uid`` column (never shadowing a payload column of any
+        name). Returns the (shard, pos, doc_id) layout. See
         :func:`cdc_spark.functions.export.write_shards` for the plan
         shape (portable-hash assignment + two-phase intra-shard rank)."""
         from .functions.export import N_SHARDS, SHUFFLE_SEED, write_shards
@@ -540,9 +542,7 @@ class CdcApply:
         lake = self.lake_for(table).refresh()
         live = lake.read()
         docs = live.select(
-            F.xxhash64(
-                *[F.col(k).cast("string") for k in lake.key]
-            ).alias("doc_id"),
+            F.xxhash64(*[F.col(k) for k in lake.key]).alias("_doc_uid"),
             "*",
         )
         return write_shards(
@@ -550,6 +550,7 @@ class CdcApply:
             path,
             n_shards=N_SHARDS if n_shards is None else n_shards,
             seed=SHUFFLE_SEED if seed is None else seed,
+            id_col="_doc_uid",
         )
 
     def _update_neardup_index(

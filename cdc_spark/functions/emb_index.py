@@ -125,14 +125,14 @@ class EmbIndex:
         self._meta_path = os.path.join(root, "emb_meta.json")
         vec_root = os.path.join(root, "vectors")
         post_root = os.path.join(root, "postings")
-        if LakeTable.exists(vec_root):
+        # parameters first (meta file is the source of truth once written:
+        # a crash at ANY later point reopens with the same banding)
+        if os.path.exists(self._meta_path):
             with open(self._meta_path) as fh:
                 stored = json.load(fh)
             self.bits = stored["bits"]
             self.n_bands = stored["n_bands"]
             self.dim = stored["dim"]
-            self.vecs = LakeTable(spark, vec_root).refresh()
-            self.post = LakeTable(spark, post_root).refresh()
         else:
             if bits is None:
                 bits = (
@@ -143,6 +143,10 @@ class EmbIndex:
                 rule = "autosize" if corpus_hint else "fixture"
             else:
                 rule = "explicit"
+            if not 1 <= bits <= 24:
+                # the lexicographic bkey pad is 8 digits (= the 2^24 rule
+                # clamp); wider buckets would silently truncate-collide
+                raise ValueError(f"bits={bits} out of range [1, 24]")
             self.bits, self.n_bands, self.dim = bits, n_bands, dim
             os.makedirs(root, exist_ok=True)
             with open(self._meta_path, "w") as fh:
@@ -156,6 +160,11 @@ class EmbIndex:
                     },
                     fh,
                 )
+        # each lake guarded independently (mirrors MinHashIndex): a crash
+        # between the two create() calls must not brick the root
+        if LakeTable.exists(vec_root):
+            self.vecs = LakeTable(spark, vec_root).refresh()
+        else:
             self.vecs = LakeTable.create(
                 spark,
                 vec_root,
@@ -165,6 +174,9 @@ class EmbIndex:
                 table="emb_vectors",
                 merge_on_read=True,
             )
+        if LakeTable.exists(post_root):
+            self.post = LakeTable(spark, post_root).refresh()
+        else:
             self.post = LakeTable.create(
                 spark,
                 post_root,

@@ -33,6 +33,12 @@ N_SHARDS = 8
 #: deterministic permutation
 SHUFFLE_SEED = "xshuf"
 
+import re as _re
+
+#: seeds are interpolated into SQL string literals on both engines — keep
+#: them quote-free by construction
+_SEED_RE = _re.compile(r"[A-Za-z0-9_.\-]+")
+
 
 def export_shards(
     docs: DataFrame,
@@ -43,11 +49,21 @@ def export_shards(
     """(shard, pos, doc_id): the deterministic shard each doc lands in and
     its 0-based position there, under hash-pseudo-shuffle ordering.
     ``id_col`` must be unique per row (ties would make the permutation
-    order-ambiguous in any engine, the oracle included)."""
+    order-ambiguous in any engine, the oracle included) and castable to
+    BIGINT — the hash runs over the CAST value, so it matches the oracle
+    regardless of the column's surface type or name."""
+    if not _SEED_RE.fullmatch(seed):
+        raise ValueError(
+            f"seed {seed!r} must match [A-Za-z0-9_.-]+ (it is interpolated "
+            "into both engines' SQL expressions)"
+        )
     spark = docs.sparkSession
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # hash the RENAMED column: the select below is the only frame the
+    # expression ever sees, so any id_col name (or a column also named
+    # doc_id upstream) resolves unambiguously
     hx = F.expr(
-        spark_poly_hash(f"concat('{seed}:', CAST({id_col} AS STRING))")
+        spark_poly_hash(f"concat('{seed}:', CAST(doc_id AS STRING))")
     )
     d = (
         docs.select(F.col(id_col).cast("long").alias("doc_id"))
@@ -106,14 +122,16 @@ def write_shards(
 ) -> DataFrame:
     """Materialize the export: join the layout back to the full rows and
     write ``shard=N`` parquet directories, rows sorted by ``pos`` within
-    each shard. One extra equi-join on the id plus one hash shuffle on
+    each shard. One extra equi-join on the id plus one range shuffle on
     shard — the join is on the same unique id both sides, and the final
-    repartition("shard") gives one writer task per shard. Returns the
-    layout frame for callers that also want it."""
+    repartitionByRange("shard") gives one writer task per shard (a hash
+    repartition would collide several shard values into one task and
+    leave others empty). Returns the layout frame for callers that also
+    want it."""
     layout = export_shards(docs, n_shards, seed, id_col)
     (
         docs.join(layout.withColumnRenamed("doc_id", id_col), [id_col])
-        .repartition(n_shards, "shard")
+        .repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite")
         .partitionBy("shard")

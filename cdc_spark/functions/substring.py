@@ -51,7 +51,11 @@ SPAN_L = 8
 #: per-doc token cap, enforced BEFORE the window explode in BOTH engines —
 #: a pathological multi-MB doc must not fan out unboundedly. Positions are
 #: therefore < 2^13, so ``doc_id * 8192 + pos`` packs the global occurrence
-#: order into one BIGINT for the min-occurrence reduce.
+#: order into one BIGINT for the min-occurrence reduce. OPERATOR LIMIT
+#: (same class as chunk_dedup's documented 1e6 factor): ids must satisfy
+#: 0 <= doc_id < 2^50 — a full-range hash id (e.g. xxhash64) would wrap
+#: the packed key silently in Spark and overflow-error in the oracle; map
+#: such ids through a dense or truncated id first.
 MAX_SPAN_TOKENS = 4096
 
 

@@ -141,6 +141,26 @@ def test_update_delete_and_replay(spark, tmpdir_factory_clean):
     _assert_tracks(idx2, _vdf(spark, live).drop("_deleted"))
 
 
+def test_partial_create_recovers_and_bits_guarded(spark, tmpdir_factory_clean):
+    import shutil
+
+    import pytest
+
+    root = tmpdir_factory_clean("embidx5")
+    EmbIndex(spark, root, bits=BITS, n_bands=NB, dim=DIM, n_buckets=4)
+    # crash window: meta + vectors committed, postings create never ran
+    shutil.rmtree(os.path.join(root, "postings"))
+    idx = EmbIndex(spark, root)
+    assert (idx.bits, idx.n_bands, idx.dim) == (BITS, NB, DIM)
+    pairs = idx.update(
+        _vdf(spark, [(1, _vec(1)), (2, _vec(1, variant=1))]), lsn=1, batch_id=0
+    )
+    assert _pairs_set(pairs) == {(1, 2)}
+    # bkey pad width caps bits at 24 — wider must refuse at creation
+    with pytest.raises(ValueError):
+        EmbIndex(spark, tmpdir_factory_clean("embidx6"), bits=28)
+
+
 def test_truncate_rebuild(spark, tmpdir_factory_clean):
     root = tmpdir_factory_clean("embidx3")
     idx = EmbIndex(spark, root, bits=BITS, n_bands=NB, dim=DIM, n_buckets=4)

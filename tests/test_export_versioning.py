@@ -35,6 +35,20 @@ def test_export_shards_is_a_permutation(spark):
         assert sorted(poss) == list(range(len(poss)))
 
 
+def test_export_shards_custom_id_col_and_seed_guard(spark):
+    # a non-default id column must produce the SAME layout as the default
+    # name (the hash runs over the renamed value, not the surface name)
+    d = _docs(spark)
+    a = sorted(map(tuple, export_shards(d, n_shards=4).collect()))
+    r = d.withColumnRenamed("doc_id", "vec_id")
+    b = sorted(
+        map(tuple, export_shards(r, n_shards=4, id_col="vec_id").collect())
+    )
+    assert a == b
+    with pytest.raises(ValueError):
+        export_shards(d, n_shards=4, seed="it's")
+
+
 def test_export_shards_deterministic_and_partition_independent(spark):
     d = _docs(spark)
     a = sorted(map(tuple, export_shards(d, n_shards=4).collect()))
