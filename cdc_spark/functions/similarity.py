@@ -597,16 +597,29 @@ MAX_BUCKET_DOCS = 1024
 
 
 def _band_bucket_expr(dim: int, band: int, bits: int = EMB_BAND_BITS):
-    """Spark Column: ``bits`` sign bits of band-specific projections."""
+    """Spark Column: ``bits`` sign bits of band-specific projections.
+
+    The dot product folds a LITERAL coefficient array with
+    ``aggregate(zip_with(...))`` instead of ``dim`` unrolled
+    multiply-adds: one expression node with a dim-element literal vs a
+    ~2*dim-node tree PER BIT — at dim=64 x bits=12 x 4 bands the unrolled
+    form made Catalyst analysis/codegen the dominant per-plan cost (the
+    incremental EmbIndex builds these plans every batch). Bit-identical
+    to the unrolled form: the fold runs in the same index order with a
+    0.0 initial term (IEEE: 0.0 + x == x), so sign decisions — and the
+    DuckDB oracle's explicit sums — are unchanged."""
     v = F.col("embedding").cast("array<double>")
     bucket = F.lit(0)
     for j in range(bits):
         g = band * bits + j
-        terms = [
-            F.element_at(v, d + 1) * F.lit(float(_proj_sign(d, g)))
-            for d in range(dim)
-        ]
-        dot = sum(terms[1:], terms[0])
+        coefs = F.array(
+            *[F.lit(float(_proj_sign(d, g))) for d in range(dim)]
+        )
+        dot = F.aggregate(
+            F.zip_with(v, coefs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
         bucket = bucket + F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return bucket.cast("int")
 
