@@ -14,7 +14,9 @@ with a small nudge) keep confirmed-pair volume constant per batch, so any
 time growth is the index's.
 
 Prints one JSON line. Env: EIDX_BATCH_VECS (default 20_000), EIDX_BATCHES
-(10), EIDX_COMPACT_EVERY (4), EIDX_DIM (32), SPARK_GRAFT_CPUS (32).
+(10), EIDX_COMPACT_EVERY (4), EIDX_DIM (64 = the production EMB_DIM;
+lower dims inflate noise pairs — sign-agreeing random vectors correlate
+hard in few dimensions), SPARK_GRAFT_CPUS (32).
 """
 
 from __future__ import annotations
@@ -31,7 +33,7 @@ def main() -> None:
     per = int(os.environ.get("EIDX_BATCH_VECS", 20_000))
     n_batches = int(os.environ.get("EIDX_BATCHES", 10))
     compact_every = int(os.environ.get("EIDX_COMPACT_EVERY", 4))
-    dim = int(os.environ.get("EIDX_DIM", 32))
+    dim = int(os.environ.get("EIDX_DIM", 64))
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pyspark.sql import SparkSession
