@@ -321,6 +321,53 @@ SELECT doc_id, 'insert' AS kind, lang, source FROM documents
 """
 
 
+def q_pgoutput_decode(spark, sf_dir):
+    """P3 sibling for the binary wire: documents -> envelope rows -> pgoutput
+    binary messages (Relation + Insert/Delete) -> ``parse_pgoutput`` -> the
+    decoded envelope. The oracle is the direct projection, so the whole
+    encode/decode walk (NUL-scan strings, length-prefixed tuples, as-of
+    Relation resolution, extra-column lift) must be the identity."""
+    from .pgoutput import encode_envelope, parse_pgoutput
+
+    d = _docs(spark, sf_dir)
+    env = d.select(
+        F.col("doc_id").alias("lsn"),
+        F.when(F.pmod("doc_id", F.lit(10)) == 0, F.lit("delete"))
+        .otherwise(F.lit("insert"))
+        .alias("op"),
+        F.lit("repos").alias("table"),
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.lit(None).cast("string").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+        F.create_map(F.lit("src"), F.col("source")).alias("extra"),
+        F.lit(None).cast("string").alias("schema_change"),
+    )
+    wire = encode_envelope(
+        env, {0: {"action": "add", "column": "src", "type": "string"}}
+    )
+    back = parse_pgoutput(wire)
+    return back.filter(F.col("op").isin("insert", "delete")).select(
+        F.col("lsn").alias("doc_id"),
+        "op",
+        F.col("table").alias("tbl"),
+        "repo",
+        "lang",
+        F.sha2("content", 256).alias("content_sha"),
+        F.element_at("extra", F.lit("src")).alias("src"),
+    )
+
+
+SQL_PGOUTPUT = """
+SELECT doc_id,
+       CASE WHEN doc_id % 10 = 0 THEN 'delete' ELSE 'insert' END AS op,
+       'repos' AS tbl, source AS repo, lang,
+       sha256(text) AS content_sha, source AS src
+FROM documents
+"""
+
+
 def q_date_trunc(spark, sf_dir):
     """P5: the reference's only scalar formatter (DATE_TRUNC to seconds),
     aggregated per hour for a stable small result."""
@@ -440,6 +487,7 @@ _ENGINE_QUERIES = {
     "truncate_semantics": (q_truncate_semantics, SQL_TRUNCATE),
     "frame_parse": (q_frame_parse, SQL_FRAME_PARSE),
     "wal2json_decode": (q_wal2json_decode, SQL_WAL2JSON),
+    "pgoutput_decode": (q_pgoutput_decode, SQL_PGOUTPUT),
     "date_trunc_format": (q_date_trunc, SQL_DATE_TRUNC),
     "content_sha256": (q_content_sha256, SQL_SHA256),
     "payload_json_extract": (q_payload_json_extract, SQL_JSON_EXTRACT),

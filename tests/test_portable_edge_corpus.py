@@ -53,6 +53,9 @@ QUERIES = [
     "export_shards",
     "snapshot_diff",
     "substring_dedup",
+    # binary pgoutput roundtrip: multibyte/emoji text exercises the UTF-8
+    # length-prefixed tuple walk (byte lengths != char counts)
+    "pgoutput_decode",
     # all 12 edge doc_ids sit inside the eval holdout (doc_id < N_EVAL_DOCS),
     # so the funnel's post-quality stages are EMPTY — this pins the
     # zero-survivor path (COALESCE'd token sums) cross-engine
