@@ -337,6 +337,95 @@ def stream_window_rollup(
     return _rollup_agg(events.withWatermark("ts", watermark), minutes)
 
 
+#: session gap, minutes (shared by batch query, stream surface, and oracle)
+SESSION_WINDOW_MIN = 30
+
+
+def _session_agg(events: "DataFrame", gap_min: int) -> "DataFrame":
+    """Shared per-user session aggregation over Spark's built-in
+    ``session_window`` — used by BOTH the batch query and the streaming
+    surface (dynamic-gap session state is exactly what the built-in
+    stateful operator implements; no applyInPandasWithState needed).
+
+    Boundary semantics (measured, tests/test_stream_session.py): each
+    event spans ``[ts, ts+gap)`` and Spark merges TOUCHING spans — an
+    exact-gap tie (next ts == prev ts + gap) stays one session; a new
+    session begins iff the gap is **strictly > gap_min**. That matches the
+    lag-based ``q_sessionize`` split rule exactly. ``sess_end`` is
+    ``last_ts + gap``, the built-in's window end. Money sums in integer
+    cents (order-free)."""
+    cents = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.groupBy(
+            F.session_window(F.col("ts"), f"{gap_min} minutes").alias("win"),
+            "user_id",
+        )
+        .agg(F.count("*").alias("n_events"), F.sum(cents).alias("value_c"))
+        .select(
+            "user_id",
+            F.date_format(F.col("win.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_start"
+            ),
+            F.date_format(F.col("win.end"), "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_end"
+            ),
+            "n_events",
+            "value_c",
+        )
+    )
+
+
+def session_rollup(events, gap_min: int = SESSION_WINDOW_MIN):
+    """Batch per-user session rollup. At 100 TB: ONE shuffle on user_id,
+    then per-key in-memory session merge inside the built-in operator —
+    no self-join, no window-function sort spill beyond the key group."""
+    return _session_agg(events, gap_min)
+
+
+def stream_session_rollup(
+    events, gap_min: int = SESSION_WINDOW_MIN, watermark: str = "30 minutes"
+):
+    """The SAME session rollup over a STREAMING frame: open sessions live
+    in the state store, merge with late-but-in-watermark arrivals, and
+    emit finalized once the watermark passes ``last_ts + gap`` (append
+    mode). Identical builder as :func:`session_rollup`, so a completed
+    stream equals the batch rollup over the non-late rows
+    (tests/test_stream_session.py)."""
+    return _session_agg(events.withWatermark("ts", watermark), gap_min)
+
+
+def q_session_rollup(spark, sf_dir):
+    """Oracled batch instance over the events table."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    return session_rollup(e).orderBy("user_id", "sess_start")
+
+
+SQL_SESSION_ROLLUP = f"""
+WITH m AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w)
+                       > {SESSION_WINDOW_MIN * 60}
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sid
+  FROM m)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       strftime(max(ts) + INTERVAL '{SESSION_WINDOW_MIN} minutes',
+                '%Y-%m-%d %H:%M:%S') AS sess_end,
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+FROM s GROUP BY user_id, sid
+ORDER BY user_id, sess_start
+"""
+
+
 def q_window_rollup(spark, sf_dir):
     """Oracled batch instance over the events table."""
     e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
@@ -364,4 +453,5 @@ def registry() -> dict:
         "asof_join_cogroup": (q_asof_join_cogroup, SQL_ASOF),
         "sessionize": (q_sessionize, SQL_SESSIONIZE),
         "window_rollup": (q_window_rollup, SQL_WINDOW_ROLLUP),
+        "session_rollup": (q_session_rollup, SQL_SESSION_ROLLUP),
     }
