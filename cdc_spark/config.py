@@ -145,6 +145,10 @@ CONFIG_SCHEMA = {
                 "backend": {"type": "string"},
                 "path": {"type": "string"},
                 "framed": {"type": "boolean"},
+                "wire_format": {
+                    "enum": ["envelope", "framed", "pgoutput"],
+                },
+                "relation_registry": {"type": "string"},
             },
             "required": ["backend"],
         },

@@ -46,6 +46,7 @@ values are hex-encoded strings.
 from __future__ import annotations
 
 import json
+import os
 from bisect import bisect_right
 from typing import Iterator
 
@@ -371,17 +372,17 @@ def _as_of(
 _OPS = {0x49: "insert", 0x55: "update", 0x44: "delete"}
 
 
-def decode_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
-    """(lsn, value BINARY) pgoutput stream -> PGOUT_FRAME_DDL frames.
-
-    Two passes: (1) Relation messages -> collected timeline (+ diffed
-    schema_change events), (2) Arrow-batched walk of the data messages
-    against the broadcast timeline. Null/unchanged-toast columns are
-    omitted from the emitted parallel arrays (element_at on the lifted map
-    then yields NULL — same contract as the wal2json path)."""
+def _decode_data(
+    df: DataFrame,
+    timeline: dict[int, list[tuple[int, str, list[str], list[str]]]],
+    changes: list[tuple[int, str, str]],
+    value: str = "value",
+) -> DataFrame:
+    """Arrow-batched walk of the non-Relation messages against a broadcast
+    as-of timeline, plus the schema_change control rows. Shared by the
+    batch decode (timeline from the same frame) and the streaming decoder
+    (timeline from the persistent registry)."""
     spark = df.sparkSession
-    timeline = relation_timeline(parse_relations(df, value))
-    changes = schema_change_events(timeline)
     bc = spark.sparkContext.broadcast(timeline)
 
     data = df.filter(
@@ -441,12 +442,25 @@ def decode_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
     return out
 
 
-def parse_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
-    """Full pgoutput wire -> ``ENVELOPE_DDL`` (drop-in for
-    ``parse.parse_frames``). The lift (parallel arrays -> map -> typed base
-    columns + ``extra``) is pure JVM column expressions, mirroring
-    ``parse.decode_wal2json``."""
-    frames = decode_pgoutput(df, value)
+def decode_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
+    """(lsn, value BINARY) pgoutput stream -> PGOUT_FRAME_DDL frames
+    (batch form — the whole stream is visible, so the Relation timeline
+    comes from the frame itself).
+
+    Two passes: (1) Relation messages -> collected timeline (+ diffed
+    schema_change events), (2) Arrow-batched walk of the data messages
+    against the broadcast timeline. Null/unchanged-toast columns are
+    omitted from the emitted parallel arrays (element_at on the lifted map
+    then yields NULL — same contract as the wal2json path)."""
+    timeline = relation_timeline(parse_relations(df, value))
+    changes = schema_change_events(timeline)
+    return _decode_data(df, timeline, changes, value)
+
+
+def _lift_envelope(frames: DataFrame) -> DataFrame:
+    """PGOUT_FRAME_DDL -> ENVELOPE_DDL: the parallel-arrays -> map -> typed
+    base columns + ``extra`` lift, pure JVM column expressions (mirrors
+    ``parse.decode_wal2json``)."""
     cols = F.map_from_arrays("columnnames", "columnvalues")
     is_dml = F.col("op").isin("insert", "update", "delete")
     base = [
@@ -468,6 +482,97 @@ def parse_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
     )
     names = [f.split()[0].strip("`") for f in ENVELOPE_DDL.split(", ")]
     return out.select(*[F.col(f"`{n}`") for n in names])
+
+
+def parse_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
+    """Full pgoutput wire -> ``ENVELOPE_DDL`` (drop-in for
+    ``parse.parse_frames``), batch form."""
+    return _lift_envelope(decode_pgoutput(df, value))
+
+
+# ---------------------------------------------------------------------------
+# streaming decoder: per-microbatch decode with a persistent relation
+# registry (a streaming frame cannot collect its own Relation timeline)
+# ---------------------------------------------------------------------------
+
+
+class PgOutputDecoder:
+    """Per-microbatch pgoutput decode for the foreachBatch path.
+
+    A Relation message governs every later DML on its relation id —
+    including DML in LATER microbatches — so the timeline must outlive the
+    batch. The registry is a tiny JSON file (O(#tables x #schema-changes)
+    rows, control-plane cardinality) persisted atomically (tmp + rename)
+    BEFORE the batch's envelope is handed to the idempotent apply:
+
+    - crash after registry write, before lake commit -> replay re-merges
+      the same versions (keyed (relid, lsn) — no-op) and re-derives the
+      SAME schema_change rows (they diff the batch's Relation messages
+      against their registry predecessors, deterministically), so the
+      replayed batch is byte-identical;
+    - a connector re-sending an unchanged Relation after reconnect (the
+      pgoutput per-connection contract) produces no diff -> no spurious
+      schema_change.
+
+    Requires in-order delivery ACROSS batches per relation (a Relation
+    arrives no later than the first data message it governs — the WAL
+    stream's own guarantee); within a batch, resolution is as-of by LSN.
+    """
+
+    def __init__(self, registry_path: str):
+        self.registry_path = registry_path
+        self._timeline: dict[int, list[tuple[int, str, list[str], list[str]]]] = {}
+        self._load()
+
+    def _load(self) -> None:
+        if not os.path.exists(self.registry_path):
+            return
+        with open(self.registry_path) as f:
+            raw = json.load(f)
+        self._timeline = {
+            int(relid): [tuple(v) for v in versions]
+            for relid, versions in raw.items()
+        }
+
+    def _persist(self) -> None:
+        os.makedirs(os.path.dirname(self.registry_path) or ".", exist_ok=True)
+        tmp = self.registry_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._timeline, f)
+        os.replace(tmp, self.registry_path)
+
+    def _merge(self, rel_df: DataFrame) -> list[tuple[int, str, str]]:
+        """Merge the batch's Relation messages into the registry; return
+        the schema_change events they imply (vs their predecessor version
+        in the MERGED timeline — stable under replay)."""
+        batch_tl = relation_timeline(rel_df)
+        if not batch_tl:
+            return []
+        changes: list[tuple[int, str, str]] = []
+        for relid, versions in batch_tl.items():
+            have = self._timeline.setdefault(relid, [])
+            known = {v[0] for v in have}
+            for v in versions:
+                if v[0] not in known:
+                    have.append(v)
+            have.sort(key=lambda t: t[0])
+            # diff each batch version against its predecessor in the
+            # merged timeline (replay-deterministic: merging is idempotent)
+            for v in versions:
+                i = next(k for k, h in enumerate(have) if h[0] == v[0])
+                if i > 0:
+                    changes.extend(
+                        schema_change_events({relid: [have[i - 1], have[i]]})
+                    )
+        self._persist()
+        changes.sort()
+        return changes
+
+    def __call__(self, df: DataFrame, value: str = "value") -> DataFrame:
+        changes = self._merge(parse_relations(df, value))
+        return _lift_envelope(
+            _decode_data(df, self._timeline, changes, value)
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -12,7 +12,10 @@ Shipped backends:
 - ``file-segments`` — parquet WAL-segment dirs (``seg=K/``), the sandbox's
   replication slot: Spark's file-source offset log under the checkpoint IS
   the slot's restart LSN (reference S3 semantics). ``conf``:
-  ``{"path": dir, "framed": bool}``.
+  ``{"path": dir, "wire_format": "envelope"|"framed"|"pgoutput"}``
+  (``framed: true`` is the legacy spelling of ``wire_format: framed``;
+  ``pgoutput`` = binary pgoutput messages, decoded per-microbatch in
+  foreachBatch against a persistent Relation registry — ``stream.py``).
 - ``rate`` — Spark's rate source mapped through the deterministic loggen
   envelope expressions; unbounded synthetic load for soak/benchmarks.
   ``conf``: ``{"rows_per_second": int, "n_repos": int, ...}``.
@@ -46,15 +49,24 @@ FRAMED_DDL = "lsn BIGINT, value STRING"
 SourceFactory = Callable[[SparkSession, EngineConfig, dict], DataFrame]
 
 
+BINARY_DDL = "lsn BIGINT, value BINARY"
+
+
 def file_segments_source(
     spark: SparkSession, cfg: EngineConfig, conf: dict
 ) -> DataFrame:
-    ddl = FRAMED_DDL if conf.get("framed") else ENVELOPE_DDL
+    """``wire_format``: ``"envelope"`` (default, pre-parsed), ``"framed"``
+    (text ``B|/C|/M|table|json`` frames, parsed statelessly) or
+    ``"pgoutput"`` (binary pgoutput messages — returned RAW here; the
+    Relation timeline is cross-batch state, so the decode happens in
+    foreachBatch via ``pgoutput.PgOutputDecoder``, see ``stream.py``)."""
+    wire = conf.get("wire_format", "framed" if conf.get("framed") else "envelope")
+    ddl = {"framed": FRAMED_DDL, "pgoutput": BINARY_DDL}.get(wire, ENVELOPE_DDL)
     reader = spark.readStream.schema(ddl)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)
     df = reader.parquet(os.path.join(conf["path"], "seg=*"))
-    if conf.get("framed"):
+    if wire == "framed":
         df = parse_frames(df)
     return df
 

@@ -47,10 +47,28 @@ def start_stream(
         conf.setdefault("framed", framed)
     df = build_source(spark, cfg, source, conf)
 
+    # binary pgoutput wire: the Relation timeline is cross-batch state, so
+    # the wire->envelope decode runs per microbatch against a persistent
+    # registry (idempotent under replay; see pgoutput.PgOutputDecoder)
+    decode = None
+    if conf.get("wire_format") == "pgoutput":
+        import os as _os
+
+        from .pgoutput import PgOutputDecoder
+
+        decode = PgOutputDecoder(
+            conf.get(
+                "relation_registry",
+                _os.path.join(cfg.lake_root, "_pgoutput_relations.json"),
+            )
+        )
+
     applier = CdcApply(spark, cfg)
     n_seen = {"batches": 0}
 
     def _fb(batch_df, batch_id: int) -> None:
+        if decode is not None:
+            batch_df = decode(batch_df)
         applier.apply_batch(batch_df, batch_id)
         n_seen["batches"] += 1
         if fail_after_batches is not None and n_seen["batches"] >= fail_after_batches:
