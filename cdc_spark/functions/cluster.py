@@ -219,6 +219,224 @@ ORDER BY doc_id
 """
 
 
+# ---------------------------------------------------------------------------
+# keep-best survivor selection + leakage-safe splits (built on the clusters)
+# ---------------------------------------------------------------------------
+
+#: leakage-safe split fractions, in tenths of a percent of the hash space:
+#: h < 50 -> test (5%), h < 150 -> validation (10%), else train (85%).
+SPLIT_TEST_LT = 50
+SPLIT_VAL_LT = 150
+#: bounded mixing arithmetic: (cluster_id % 1000003) * 131 + 7 stays under
+#: ~1.3e8, so the expression never overflows BIGINT in either engine.
+_SPLIT_PRIME = 1_000_003
+_SPLIT_MULT = 131
+_SPLIT_ADD = 7
+
+
+def quality_int(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``quality_x1e3`` — an INTEGER (0..1000) replica of
+    ``text.q_quality_score``'s three signals (length, stopword density,
+    mean token length), scaled x1000 and kept in BIGINT space end to end
+    so a ranking decided by it is bit-reproducible across engines and
+    partitionings (the same integer-space discipline as
+    ``corpus.tfidf_topk`` / ``cleaning.lm_surprisal``):
+
+    - length:    ``least(toks, 100) * 4``                      (0..400)
+    - stopwords: ``least((stops * 1500) div toks, 300)``       (0..300)
+    - mean tok:  ``300 if 3*toks <= chars <= 8*toks else 0``   (0|300)
+
+    ``toks >= 1`` always (both engines split empty text into one empty
+    token), so the integer division is total. Pure column expressions —
+    whole-stage codegen, no shuffle."""
+    from .text import _STOPWORDS, _hits, _padded
+
+    col = F.col(text_col)
+    p = _padded(col)
+    toks = F.size(F.split(F.trim(col), r"\s+")).cast("long")
+    stops = sum(
+        [_hits(p, w) for ws in _STOPWORDS.values() for w in ws],
+        F.lit(0).cast("long"),
+    )
+    chars = F.length(F.regexp_replace(col, r"\s+", "")).cast("long")
+    staged = docs.withColumns(
+        {"_toks": toks, "_stops": stops, "_chars": chars}
+    )
+    q = (
+        F.least(F.col("_toks"), F.lit(100)) * 4
+        + F.least(F.expr("(_stops * 1500) div _toks"), F.lit(300))
+        + F.when(
+            (F.col("_chars") >= 3 * F.col("_toks"))
+            & (F.col("_chars") <= 8 * F.col("_toks")),
+            300,
+        ).otherwise(0)
+    )
+    return staged.withColumn("quality_x1e3", q.cast("long")).drop(
+        "_toks", "_stops", "_chars"
+    )
+
+
+def _sql_quality_int() -> str:
+    """DuckDB CTE body computing the identical integer quality per doc:
+    ``(SELECT doc_id, quality_x1e3 FROM ...)``."""
+    from .text import _STOPWORDS, _sql_hits
+
+    p = "(' ' || lower(text) || ' ')"
+    stop_sum = " + ".join(
+        _sql_hits(p, w) for ws in _STOPWORDS.values() for w in ws
+    )
+    return rf"""(
+  SELECT doc_id,
+         CAST(least(toks, 100) * 4
+              + least((stops * 1500) // toks, 300)
+              + CASE WHEN chars BETWEEN 3 * toks AND 8 * toks
+                     THEN 300 ELSE 0 END AS BIGINT) AS quality_x1e3
+  FROM (SELECT doc_id,
+               CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS toks,
+               CAST({stop_sum} AS BIGINT) AS stops,
+               CAST(length(regexp_replace(text, '\s+', '', 'g')) AS BIGINT) AS chars
+        FROM documents) t)"""
+
+
+def cluster_canonical(
+    docs: DataFrame, pairs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Keep-BEST dedup survivor selection: (doc_id, cluster_id,
+    canonical_id, quality_x1e3, keep) for every doc, where each near-dup
+    cluster's canonical is its highest-``quality_x1e3`` member (ties to
+    the smaller doc_id) — what a production dedup pass actually keeps,
+    versus ``dedup_clusters``'s arbitrary min-id convention.
+
+    100 TB shape: components are O(log^2 n) key-partitioned rounds, the
+    quality signal is a pure projection, survivor election is ONE
+    partial-aggregated ``max_by`` groupBy on cluster_id (no window over
+    the corpus), and the map back to members is an equi-join on the
+    cluster key. Nothing is collected to the driver."""
+    labs = dedup_clusters(docs, pairs)
+    qi = quality_int(docs.select("doc_id", text_col), text_col).select(
+        "doc_id", "quality_x1e3"
+    )
+    scored = labs.join(qi, "doc_id")
+    canon = scored.groupBy("cluster_id").agg(
+        F.expr("max_by(doc_id, struct(quality_x1e3, -doc_id))").alias(
+            "canonical_id"
+        )
+    )
+    return scored.join(canon, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "canonical_id",
+        "quality_x1e3",
+        (F.col("doc_id") == F.col("canonical_id")).cast("int").alias("keep"),
+    )
+
+
+def q_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Oracled instance over the MinHash LSH pair graph on documents."""
+    from .dedupe import q_minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return cluster_canonical(d, pairs).orderBy("doc_id")
+
+
+def sql_cluster_canonical() -> str:
+    from .dedupe import sql_lsh_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {sql_lsh_pairs_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(u, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seeds
+    UNION
+    SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.u
+    WHERE w.lab < e.v
+),
+lab AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY u),
+qi AS {_sql_quality_int()},
+scored AS (
+    SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+           qi.quality_x1e3
+    FROM documents d LEFT JOIN lab l USING (doc_id) JOIN qi USING (doc_id)),
+canon AS (
+    SELECT cluster_id, doc_id AS canonical_id FROM (
+        SELECT cluster_id, doc_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY quality_x1e3 DESC, doc_id ASC)
+                   AS rn
+        FROM scored) t
+    WHERE rn = 1)
+SELECT s.doc_id, s.cluster_id, c.canonical_id, s.quality_x1e3,
+       CAST(CASE WHEN s.doc_id = c.canonical_id THEN 1 ELSE 0 END AS INT)
+           AS keep
+FROM scored s JOIN canon c USING (cluster_id)
+ORDER BY doc_id
+"""
+
+
+def leakage_safe_split(labels: DataFrame) -> DataFrame:
+    """Train/validation/test assignment that can never leak near-dups
+    across splits: the split is a deterministic function of the CLUSTER
+    label, not the doc, so every member of a near-dup cluster lands in
+    the same split (hashing doc_ids instead — the naive approach — puts
+    ~2·p·(1-p) of every cluster's duplicated mass on the wrong side of
+    the eval boundary). ``labels`` is any (doc_id, cluster_id) frame,
+    e.g. ``dedup_clusters`` output.
+
+    The bucket is bounded integer arithmetic (identical in Spark and
+    DuckDB, no engine hash), a pure projection — zero shuffle on top of
+    the clustering."""
+    h = (
+        (F.col("cluster_id") % _SPLIT_PRIME) * _SPLIT_MULT + _SPLIT_ADD
+    ) % 1000
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        h.cast("long").alias("h_bucket"),
+        F.when(h < SPLIT_TEST_LT, "test")
+        .when(h < SPLIT_VAL_LT, "validation")
+        .otherwise("train")
+        .alias("split"),
+    )
+
+
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedupe import q_minhash_lsh_pairs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    return leakage_safe_split(dedup_clusters(d, pairs)).orderBy("doc_id")
+
+
+def sql_leakage_safe_split() -> str:
+    from .dedupe import sql_lsh_pairs_ctes
+
+    return f"""
+WITH RECURSIVE {sql_lsh_pairs_ctes()},
+edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+walk(u, lab) AS (
+    SELECT u, u FROM (SELECT DISTINCT u FROM edges) seeds
+    UNION
+    SELECT e.v, w.lab FROM walk w JOIN edges e ON e.u = w.u
+    WHERE w.lab < e.v
+),
+lab AS (SELECT u AS doc_id, MIN(lab) AS cluster_id FROM walk GROUP BY u),
+labs AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         FROM documents d LEFT JOIN lab l USING (doc_id)),
+h AS (SELECT doc_id, cluster_id,
+             CAST(((cluster_id % {_SPLIT_PRIME}) * {_SPLIT_MULT}
+                   + {_SPLIT_ADD}) % 1000 AS BIGINT) AS h_bucket
+      FROM labs)
+SELECT doc_id, cluster_id, h_bucket,
+       CASE WHEN h_bucket < {SPLIT_TEST_LT} THEN 'test'
+            WHEN h_bucket < {SPLIT_VAL_LT} THEN 'validation'
+            ELSE 'train' END AS split
+FROM h ORDER BY doc_id
+"""
+
+
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped semantic dedup (Abbas et al. 2023, made
     deterministic): embedding-cosine near-dup pairs (multi-band hyperplane
@@ -270,4 +488,9 @@ def registry() -> dict:
     return {
         "dedup_clusters": (q_dedup_clusters, sql_dedup_clusters()),
         "semantic_dedup": (q_semantic_dedup, sql_semantic_dedup()),
+        "cluster_canonical": (q_cluster_canonical, sql_cluster_canonical()),
+        "leakage_safe_split": (
+            q_leakage_safe_split,
+            sql_leakage_safe_split(),
+        ),
     }

@@ -306,9 +306,63 @@ FROM per JOIN probes USING (source) ORDER BY source
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus-global vocabulary (tokenizer / BPE training prep)
+# ---------------------------------------------------------------------------
+
+#: vocabulary entries reported by vocab_topk.
+VOCAB_TOPK = 50
+
+
+def vocab_topk(docs, text_col: str = "text", k: int = VOCAB_TOPK):
+    """(tok, tf, df): the ``k`` highest-total-frequency whitespace tokens
+    across the corpus with their document frequencies — the first step of
+    tokenizer/BPE vocabulary training over the materialized lake.
+
+    Determinism: ``(tf DESC, tok ASC)`` is a total order (one row per
+    token), so the LIMIT cut is bit-reproducible across engines and
+    partitionings; both counts are BIGINT.
+
+    100 TB shape: explode → partial-aggregated groupBy keyed (doc_id,
+    tok) (bounds any one task's explode fan-out by the doc, and yields df
+    for free) → partial-aggregated groupBy keyed tok (Zipf-hot tokens are
+    combined map-side) → global top-k, which Spark plans as
+    TakeOrderedAndProject (per-partition heap + driver merge of k rows) —
+    NO single-partition exchange, no full sort."""
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    vocab = tf.groupBy("tok").agg(
+        F.sum("c").cast("long").alias("tf"),
+        F.count("*").cast("long").alias("df"),
+    )
+    return vocab.orderBy(F.col("tf").desc(), F.col("tok").asc()).limit(k)
+
+
+def q_vocab_topk(spark, sf_dir):
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_topk(d.select("doc_id", "text"))
+
+
+def sql_vocab_topk(k: int = VOCAB_TOPK) -> str:
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+  FROM documents),
+tf AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+vocab AS (SELECT tok, CAST(sum(c) AS BIGINT) AS tf,
+                 CAST(count(*) AS BIGINT) AS df
+          FROM tf GROUP BY tok)
+SELECT tok, tf, df FROM vocab ORDER BY tf DESC, tok ASC LIMIT {k}
+"""
+
+
 def registry() -> dict:
     return {
         "tfidf_topk": (q_tfidf_topk, sql_tfidf_topk()),
         "source_overlap": (q_source_overlap, sql_source_overlap()),
         "length_profile": (q_length_profile, sql_length_profile()),
+        "vocab_topk": (q_vocab_topk, sql_vocab_topk()),
     }

@@ -205,3 +205,83 @@ def test_streaming_clusters_match_oneshot(spark, tmpdir_factory_clean):
         )
     )
     assert after == want_after
+
+
+def test_cluster_canonical_keeps_highest_quality(spark):
+    """Survivor election: the canonical member is the cluster's
+    highest-quality_x1e3 doc (NOT the min id), ties break to the smaller
+    doc_id, and exactly one member per cluster has keep=1."""
+    from cdc_spark.functions.cluster import cluster_canonical, quality_int
+
+    # doc 2 is long fluent prose (high quality), doc 0/1 are stubs in the
+    # same cluster; docs 5 and 6 are identical text (quality tie)
+    rich = "the quick brown fox jumps over the lazy dog and runs on " * 6
+    rows = [
+        (0, "tiny"),
+        (1, "also tiny"),
+        (2, rich),
+        (5, "same text here of the and"),
+        (6, "same text here of the and"),
+        (9, "a lonely singleton document"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "doc_a long, doc_b long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cluster_canonical(docs, pairs).collect()
+    }
+    q = {
+        r["doc_id"]: r["quality_x1e3"]
+        for r in quality_int(docs).select("doc_id", "quality_x1e3").collect()
+    }
+    assert q[2] > q[0] and q[2] > q[1]
+    # cluster {0,1,2}: canonical is the high-quality doc 2, not min-id 0
+    for d in (0, 1, 2):
+        assert got[d]["canonical_id"] == 2
+        assert got[d]["keep"] == (1 if d == 2 else 0)
+    # quality tie in {5,6}: smaller doc_id wins
+    assert q[5] == q[6]
+    assert got[5]["canonical_id"] == 5 and got[5]["keep"] == 1
+    assert got[6]["canonical_id"] == 5 and got[6]["keep"] == 0
+    # singleton keeps itself
+    assert got[9]["canonical_id"] == 9 and got[9]["keep"] == 1
+    # exactly one keep per cluster
+    by_cluster = {}
+    for r in got.values():
+        by_cluster.setdefault(r["cluster_id"], []).append(r["keep"])
+    assert all(sum(ks) == 1 for ks in by_cluster.values())
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark):
+    """The invariant the operator exists for: every member of a near-dup
+    cluster lands in the SAME split, and over many singleton clusters the
+    bucket arithmetic realizes all three splits."""
+    from cdc_spark.functions.cluster import (
+        dedup_clusters,
+        leakage_safe_split,
+    )
+
+    n = 3000
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    # chain pairs inside blocks of 3: clusters {0,1,2}, {3,4,5}, ...
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, n - 2, 3)]
+        + [(i + 1, i + 2) for i in range(0, n - 2, 3)],
+        "doc_a long, doc_b long",
+    )
+    out = leakage_safe_split(dedup_clusters(docs, pairs))
+    per_cluster = (
+        out.groupBy("cluster_id")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .agg(F.max("n_splits").alias("mx"))
+        .head()["mx"]
+    )
+    assert per_cluster == 1
+    frac = {
+        r["split"]: r["c"]
+        for r in out.groupBy("split").agg(F.count("*").alias("c")).collect()
+    }
+    assert set(frac) == {"train", "validation", "test"}
+    assert frac["train"] > frac["validation"] > frac["test"] > 0

@@ -65,3 +65,25 @@ def test_length_profile_percentile_ranks_are_exact(spark):
 def test_length_profile_single_doc_source(spark):
     out = length_profile(_docs(spark, [(1, "s", "a b c")])).collect()[0]
     assert (out.p50_tokens, out.p90_tokens) == (3, 3)
+
+
+def test_vocab_topk_counts_and_tie_cut(spark):
+    from cdc_spark.functions.corpus import vocab_topk
+
+    docs = _docs(
+        spark,
+        [
+            (1, "s", "apple apple banana cherry"),
+            (2, "s", "apple banana banana date"),
+            (3, "s", "cherry elderberry"),
+        ],
+    )
+    got = {r["tok"]: (r["tf"], r["df"]) for r in vocab_topk(docs, k=10).collect()}
+    assert got["apple"] == (3, 2)
+    assert got["banana"] == (3, 2)
+    assert got["cherry"] == (2, 2)
+    assert got["date"] == (1, 1)
+    # k cuts on (tf DESC, tok ASC): with k=3 the tie between cherry(2) and
+    # the tf-1 group resolves purely by the total order
+    top3 = [r["tok"] for r in vocab_topk(docs, k=3).collect()]
+    assert top3 == ["apple", "banana", "cherry"]

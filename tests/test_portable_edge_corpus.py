@@ -40,6 +40,9 @@ QUERIES = [
     "sample_stratified",
     "repetition_stats",
     "dedup_clusters",
+    "cluster_canonical",
+    "leakage_safe_split",
+    "vocab_topk",
     "pii_redact",
     "chunk_dedup",
     "dup_ngram_profile",
