@@ -243,8 +243,28 @@ def write_segments(
     )
     import glob
     import os
+    import time
 
-    return len(glob.glob(os.path.join(path, "seg=*")))
+    # Stamp MONOTONIC mtimes in segment order. A real WAL directory is
+    # written sequentially, so segment K's files are never newer than
+    # segment K+1's — but the parallel parquet job above finishes its
+    # tasks in scheduler order, which would leak task-completion order
+    # into Spark's file-stream batch delivery (FileStreamSource orders
+    # new files by modification time; 'seg=10' also sorts before 'seg=2'
+    # on the path tie-break). The envelope/framed wires tolerate
+    # cross-batch reordering (LWW + per-row LSN stamps), but the binary
+    # pgoutput decode relies on the WAL's own Relation-before-DML
+    # delivery guarantee ACROSS microbatches — so the harness must be
+    # faithful to it.
+    segs = glob.glob(os.path.join(path, "seg=*"))
+    base = time.time() - 2 * (len(segs) + 1)
+    for k, seg_dir in enumerate(
+        sorted(segs, key=lambda p: int(p.rsplit("=", 1)[1]))
+    ):
+        t = base + 2 * k
+        for f in glob.glob(os.path.join(seg_dir, "*")):
+            os.utime(f, (t, t))
+    return len(segs)
 
 
 def frame_value(df: DataFrame):

@@ -41,6 +41,28 @@ BASE_COLUMNS = ("repo", "path", "commit", "lang", "content")
 _TABLE_RE = r"^M\|((?:\\.|[^|\\])*)\|"
 
 
+def envelope_base_extra(cols, is_change):
+    """The name->value map lift shared by every wire front end (wal2json,
+    pgoutput): typed base columns by name, everything else into ``extra``.
+    ``cols`` is a map<string,string> column; ``is_change`` gates non-DML
+    rows to NULL."""
+    base = [
+        F.when(is_change, F.element_at(cols, c)).alias(c) for c in BASE_COLUMNS
+    ]
+    extra = F.when(
+        is_change,
+        F.map_filter(cols, lambda k, _: ~k.isin(*[F.lit(c) for c in BASE_COLUMNS])),
+    )
+    return base, extra
+
+
+def lock_envelope(df: DataFrame) -> DataFrame:
+    """Project to ``ENVELOPE_DDL``'s exact column order/set — the contract
+    every wire front end must emit."""
+    names = [f.split()[0].strip("`") for f in ENVELOPE_DDL.split(", ")]
+    return df.select(*[F.col(f"`{n}`") for n in names])
+
+
 def split_frame(df: DataFrame, value: str = "value") -> DataFrame:
     """(lsn, value) -> (lsn, frame_op, table, body).
 
@@ -123,13 +145,7 @@ def decode_wal2json(split: DataFrame, variant: bool = False) -> DataFrame:
         )
         .otherwise(F.col("frame_op"))
     )
-    base = [
-        F.when(is_change, F.element_at(cols, c)).alias(c) for c in BASE_COLUMNS
-    ]
-    extra = F.when(
-        is_change,
-        F.map_filter(cols, lambda k, _: ~k.isin(*[F.lit(c) for c in BASE_COLUMNS])),
-    )
+    base, extra = envelope_base_extra(cols, is_change)
     table = F.coalesce(F.col("table"), g["table"])
     return split.select(
         "lsn",
@@ -145,10 +161,7 @@ def parse_frames(
     df: DataFrame, value: str = "value", variant: bool = False
 ) -> DataFrame:
     """Full wire-to-envelope pipeline: split_frame |> decode_wal2json."""
-    out = decode_wal2json(split_frame(df, value), variant=variant)
-    # lock the envelope column order/types
-    names = [f.split()[0].strip("`") for f in ENVELOPE_DDL.split(", ")]
-    return out.select(*[F.col(f"`{n}`") for n in names])
+    return lock_envelope(decode_wal2json(split_frame(df, value), variant=variant))
 
 
 def with_content_hash(df: DataFrame, col: str = "content") -> DataFrame:

@@ -54,8 +54,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .config import ENVELOPE_DDL
-from .parse import BASE_COLUMNS
+from .parse import BASE_COLUMNS, envelope_base_extra, lock_envelope
 
 #: intermediate frame shape (mirrors what wal2json decode sees)
 PGOUT_FRAME_DDL = (
@@ -311,8 +310,22 @@ def relation_timeline(
         tl.setdefault(int(r["relid"]), []).append(
             (int(r["lsn"]), r["relname"], list(r["colnames"]), list(r["coltypes"]))
         )
-    for v in tl.values():
+    for relid, v in tl.items():
         v.sort(key=lambda t: t[0])
+        # duplicate-delivery of the SAME message dedupes; two DIFFERENT
+        # Relation versions at one LSN would make as-of resolution
+        # collect-order-dependent — fail loudly instead
+        dedup: list[tuple[int, str, list[str], list[str]]] = []
+        for t in v:
+            if dedup and dedup[-1][0] == t[0]:
+                if dedup[-1] != t:
+                    raise ValueError(
+                        f"pgoutput: two conflicting Relation versions for "
+                        f"relid {relid} at lsn {t[0]} — protocol violation"
+                    )
+                continue
+            dedup.append(t)
+        tl[relid] = dedup
     return tl
 
 
@@ -330,6 +343,7 @@ def schema_change_events(
             versions, versions[1:]
         ):
             prev = dict(zip(p_names, p_types))
+            n_set = set(n_names)
             for c, t in zip(n_names, n_types):
                 if c not in prev:
                     out.append(
@@ -342,12 +356,28 @@ def schema_change_events(
                             {"action": "retype", "column": c, "type": t}))
                     )
             for c in p_names:
-                if c not in set(n_names):
+                if c not in n_set:
                     out.append(
                         (lsn, name, json.dumps({"action": "drop", "column": c}))
                     )
     out.sort()
     return out
+
+
+def _versions(
+    tl: dict[int, list[tuple[int, str, list[str], list[str]]]], relid: int,
+    lsn: int,
+) -> list[tuple[int, str, list[str], list[str]]]:
+    """Timeline lookup with a protocol-violation error (not a bare
+    KeyError) when no Relation message has ever been seen for the id."""
+    versions = tl.get(relid)
+    if not versions:
+        raise ValueError(
+            f"pgoutput: DML at lsn {lsn} references relation id {relid} "
+            f"with no Relation message seen — the wire requires "
+            f"Relation-before-DML delivery (across microbatches too)"
+        )
+    return versions
 
 
 def _as_of(
@@ -416,9 +446,18 @@ def _decode_data(
                         # U: K/O old tuple then N new; D: K/O only.
                         # the LAST tuple wins (N for I/U, the key for D)
                         tup = vals if part in (0x4E, 0x4B, 0x4F) else tup
-                    name, cnames = _as_of(tl[relid], lsn)
+                    name, cnames = _as_of(_versions(tl, relid, lsn), lsn)
                     if tup is None:
                         raise ValueError("pgoutput: DML without TupleData")
+                    if len(tup) != len(cnames):
+                        # zip would silently pair values against the wrong
+                        # column prefix (or emit unequal parallel arrays)
+                        raise ValueError(
+                            f"pgoutput: tuple width {len(tup)} != relation "
+                            f"width {len(cnames)} for table {name!r} at lsn "
+                            f"{lsn} — stale or missing Relation version "
+                            f"(delivery-order protocol violation)"
+                        )
                     names = [c for c, v in zip(cnames, tup) if v is not None]
                     vals = [v for v in tup if v is not None]
                     rows.append((lsn, _OPS[t], name, names, vals, None))
@@ -426,7 +465,7 @@ def _decode_data(
                     nrels = _i(b, 1, 4)
                     for k in range(nrels):
                         relid = _i(b, 6 + 4 * k, 4)
-                        name, _ = _as_of(tl[relid], lsn)
+                        name, _ = _as_of(_versions(tl, relid, lsn), lsn)
                         rows.append((lsn, "truncate", name, None, None, None))
                 else:  # Message / unknown -> generic (reference fallback)
                     rows.append((lsn, "generic", None, None, None, None))
@@ -458,30 +497,22 @@ def decode_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
 
 
 def _lift_envelope(frames: DataFrame) -> DataFrame:
-    """PGOUT_FRAME_DDL -> ENVELOPE_DDL: the parallel-arrays -> map -> typed
-    base columns + ``extra`` lift, pure JVM column expressions (mirrors
-    ``parse.decode_wal2json``)."""
+    """PGOUT_FRAME_DDL -> ENVELOPE_DDL via the shared
+    ``parse.envelope_base_extra`` lift (one implementation for every wire
+    front end), pure JVM column expressions."""
     cols = F.map_from_arrays("columnnames", "columnvalues")
     is_dml = F.col("op").isin("insert", "update", "delete")
-    base = [
-        F.when(is_dml, F.element_at(cols, c)).alias(c) for c in BASE_COLUMNS
-    ]
-    extra = F.when(
-        is_dml,
-        F.map_filter(
-            cols, lambda k, _: ~k.isin(*[F.lit(c) for c in BASE_COLUMNS])
-        ),
+    base, extra = envelope_base_extra(cols, is_dml)
+    return lock_envelope(
+        frames.select(
+            "lsn",
+            "op",
+            "table",
+            *base,
+            extra.alias("extra"),
+            F.col("schema_change"),
+        )
     )
-    out = frames.select(
-        "lsn",
-        "op",
-        "table",
-        *base,
-        extra.alias("extra"),
-        F.col("schema_change"),
-    )
-    names = [f.split()[0].strip("`") for f in ENVELOPE_DDL.split(", ")]
-    return out.select(*[F.col(f"`{n}`") for n in names])
 
 
 def parse_pgoutput(df: DataFrame, value: str = "value") -> DataFrame:
@@ -552,13 +583,30 @@ class PgOutputDecoder:
         for relid, versions in batch_tl.items():
             have = self._timeline.setdefault(relid, [])
             known = {v[0] for v in have}
+            merged: list = []
             for v in versions:
-                if v[0] not in known:
-                    have.append(v)
+                if v[0] in known:
+                    merged.append(v)  # replay: re-derive its diff below
+                    continue
+                # a reconnecting connector re-sends an unchanged Relation
+                # at a fresh LSN (the pgoutput per-connection contract);
+                # appending it would grow the registry/broadcast/bisect
+                # linearly with reconnect count — skip content-identical
+                # versions instead (deterministic on replay: same skip)
+                pred = max(
+                    (h for h in have if h[0] <= v[0]),
+                    key=lambda h: h[0],
+                    default=None,
+                )
+                if pred is not None and tuple(pred[1:]) == tuple(v[1:]):
+                    continue
+                have.append(v)
+                known.add(v[0])
+                merged.append(v)
             have.sort(key=lambda t: t[0])
-            # diff each batch version against its predecessor in the
-            # merged timeline (replay-deterministic: merging is idempotent)
-            for v in versions:
+            # diff each merged batch version against its predecessor in
+            # the merged timeline (replay-deterministic: merge idempotent)
+            for v in merged:
                 i = next(k for k, h in enumerate(have) if h[0] == v[0])
                 if i > 0:
                     changes.extend(
@@ -600,7 +648,14 @@ def column_versions(
                 (n, ch.get("type", "string") if n == cname else t)
                 for n, t in cols
             ]
-        versions.append((l, list(cols)))
+        if l <= versions[-1][0]:
+            # a change at (or before) the current version's LSN folds INTO
+            # that version — a real stream never carries two Relation
+            # messages at one LSN, and emitting both would make as-of
+            # resolution order-dependent (relation_timeline raises on it)
+            versions[-1] = (versions[-1][0], list(cols))
+        else:
+            versions.append((l, list(cols)))
     return versions
 
 

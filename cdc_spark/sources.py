@@ -61,7 +61,20 @@ def file_segments_source(
     Relation timeline is cross-batch state, so the decode happens in
     foreachBatch via ``pgoutput.PgOutputDecoder``, see ``stream.py``)."""
     wire = conf.get("wire_format", "framed" if conf.get("framed") else "envelope")
-    ddl = {"framed": FRAMED_DDL, "pgoutput": BINARY_DDL}.get(wire, ENVELOPE_DDL)
+    try:
+        ddl = {
+            "framed": FRAMED_DDL,
+            "pgoutput": BINARY_DDL,
+            "envelope": ENVELOPE_DDL,
+        }[wire]
+    except KeyError:
+        # the jsonschema enum only guards the YAML path; a direct
+        # source_conf typo must not silently read binary parquet with the
+        # envelope schema
+        raise ValueError(
+            f"unknown wire_format {wire!r} "
+            f"(expected envelope | framed | pgoutput)"
+        ) from None
     reader = spark.readStream.schema(ddl)
     if cfg.max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", cfg.max_files_per_trigger)

@@ -231,3 +231,109 @@ def test_roundtrip_content_sha_invariant(spark):
         "lsn", F.sha2("content", 256).alias("h")
     )
     assert exp.exceptAll(got).count() == 0 and got.exceptAll(exp).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# round-5 review-pass regressions (delivery order / protocol validation)
+# ---------------------------------------------------------------------------
+
+
+def test_tuple_width_mismatch_raises(spark):
+    """A DML whose tuple width disagrees with the as-of Relation must fail
+    loudly (silent zip would pair values against the wrong columns)."""
+    stream = [
+        (0, enc_relation(1, "t", [("a", "string"), ("b", "string")])),
+        (1, enc_insert(1, ["x", "y", "z"])),  # 3 values vs 2 columns
+    ]
+    with pytest.raises(Exception, match="tuple width"):
+        decode_pgoutput(_bin_df(spark, stream)).collect()
+
+
+def test_dml_for_unknown_relid_is_descriptive(spark):
+    stream = [
+        (0, enc_relation(1, "t", [("a", "string")])),
+        (1, enc_insert(7, ["x"])),  # relid 7 never announced
+    ]
+    with pytest.raises(Exception, match="no Relation message seen"):
+        decode_pgoutput(_bin_df(spark, stream)).collect()
+
+
+def test_conflicting_same_lsn_relations_raise(spark):
+    stream = [
+        (0, enc_relation(1, "t", [("a", "string")])),
+        (0, enc_relation(1, "t", [("a", "string"), ("b", "string")])),
+        (1, enc_insert(1, ["x"])),
+    ]
+    with pytest.raises(Exception, match="conflicting Relation"):
+        decode_pgoutput(_bin_df(spark, stream)).collect()
+    # exact duplicate delivery of the SAME message dedupes silently
+    dup = [
+        (0, enc_relation(1, "t", [("a", "string")])),
+        (0, enc_relation(1, "t", [("a", "string")])),
+        (1, enc_insert(1, ["x"])),
+    ]
+    rows = decode_pgoutput(_bin_df(spark, dup)).collect()
+    assert {r["op"] for r in rows} == {"insert"}
+
+
+def test_column_versions_folds_same_lsn_change():
+    """A schema change keyed at the initial version's LSN folds INTO that
+    version instead of emitting two Relations at one LSN."""
+    vs = pg.column_versions({0: {"action": "add", "column": "src"}})
+    assert len(vs) == 1 and vs[0][0] == 0
+    assert ("src", "string") in vs[0][1]
+    vs2 = pg.column_versions({5: {"action": "add", "column": "src"}})
+    assert [v[0] for v in vs2] == [0, 5]
+
+
+def test_decoder_registry_skips_unchanged_resends(spark, tmp_path):
+    """A reconnecting connector re-sends an unchanged Relation at a fresh
+    LSN — the persistent registry must not grow per reconnect."""
+    from cdc_spark.pgoutput import PgOutputDecoder
+
+    reg = str(tmp_path / "rels.json")
+    cols = [("repo", "string"), ("path", "string"), ("content", "string")]
+    dec = PgOutputDecoder(reg)
+    b1 = [
+        (0, enc_relation(1, "repos", cols)),
+        (1, enc_insert(1, ["r", "p", "c"])),
+    ]
+    dec(_bin_df(spark, b1)).collect()
+    assert len(dec._timeline[1]) == 1
+    # reconnect: same relation re-announced at lsn 100, then real change
+    b2 = [
+        (100, enc_relation(1, "repos", cols)),
+        (101, enc_insert(1, ["r2", "p2", "c2"])),
+    ]
+    out2 = dec(_bin_df(spark, b2)).collect()
+    assert len(dec._timeline[1]) == 1  # unchanged re-send skipped
+    assert not [r for r in out2 if r["op"] == "schema_change"]
+    b3 = [(200, enc_relation(1, "repos", cols + [("stars", "long")]))]
+    out3 = dec(_bin_df(spark, b3)).collect()
+    assert len(dec._timeline[1]) == 2  # real change appended
+    assert [r["op"] for r in out3 if r["op"] == "schema_change"]
+
+
+def test_write_segments_mtimes_follow_segment_order(spark, tmp_path):
+    """Spark's file stream delivers batches in mtime order; a real WAL is
+    written sequentially, so the harness must stamp seg=K files strictly
+    older than seg=K+1's (the parallel write job alone does NOT guarantee
+    it — task completion order is scheduler noise)."""
+    import glob
+    import os
+
+    from cdc_spark.loggen import write_segments
+
+    d = str(tmp_path / "wal")
+    log = change_log(spark, 12000, n_repos=20, seed=3)
+    n = write_segments(log, d, seg_size=500)
+    assert n >= 12
+    stamps = []
+    for seg_dir in sorted(
+        glob.glob(os.path.join(d, "seg=*")),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    ):
+        files = [f for f in glob.glob(os.path.join(seg_dir, "*"))]
+        stamps.append(max(os.path.getmtime(f) for f in files))
+    assert stamps == sorted(stamps)
+    assert len(set(stamps)) == len(stamps)  # strictly increasing

@@ -301,3 +301,15 @@ def test_yaml_round4_apply_knobs(tmp_path):
     assert cfg.key_block_prefix == 6
     assert cfg.file_block_prefix == 4
     assert cfg.neardup_index is True
+
+
+def test_unknown_wire_format_raises(spark, tmp_path):
+    from cdc_spark.config import EngineConfig
+    from cdc_spark.sources import file_segments_source
+
+    cfg = EngineConfig(lake_root=str(tmp_path / "l"),
+                       checkpoint=str(tmp_path / "c"))
+    with pytest.raises(ValueError, match="unknown wire_format"):
+        file_segments_source(
+            spark, cfg, {"path": str(tmp_path), "wire_format": "pg_output"}
+        )
