@@ -16,6 +16,7 @@ def registry() -> dict:
         multimodal,
         packing,
         pipeline,
+        pq,
         sampling,
         similarity,
         substring,
@@ -27,6 +28,6 @@ def registry() -> dict:
     out: dict = {}
     for mod in (text, cleaning, corpus, dedupe, dedupe_index, cluster, similarity,
                 multimodal, temporal, sampling, packing, pipeline, export,
-                versioning, substring, emb_index):
+                versioning, substring, emb_index, pq):
         out.update(mod.registry())
     return out
