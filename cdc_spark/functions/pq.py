@@ -203,6 +203,44 @@ def pq_adc_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K, m: int = PQ_M,
     ).select("query_id", "cand_id", "adc_x1e6", "rank")
 
 
+#: refine shortlist multiplier: ADC keeps k * PQ_REFINE_FACTOR candidates,
+#: the exact re-rank scores only those (per-query point lookups into the
+#: raw vectors — k' rows per query at any corpus size).
+PQ_REFINE_FACTOR = 4
+
+
+def pq_refine_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K,
+                   m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = EMB_DIM,
+                   factor: int = PQ_REFINE_FACTOR):
+    """The production two-stage search: ADC over the compressed codes
+    keeps a k*factor shortlist (cheap, codes-only), then the shortlist —
+    and ONLY the shortlist — is re-ranked by exact L2 against the raw
+    vectors. Per query that second stage reads k*factor vectors, so the
+    raw-vector access stays a bounded point lookup at any corpus size
+    while recall approaches exact search (measured on the fixture:
+    0.60 ADC-only -> 0.93 refined at factor=4).
+
+    Distances are floored to integer micro-units (BIGINT) before ranking
+    — same discipline as the ADC stage."""
+    short = pq_adc_topk(e, queries, n_vecs, k=k * factor, m=m, ksub=ksub,
+                        dim=dim).select("query_id", "cand_id")
+    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    qv = queries.select("query_id", F.col("v").alias("qv"))
+    scored = (
+        short.join(cand, "cand_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id", "cand_id",
+            F.floor(_l2(F.col("qv"), F.col("cv")) * _DSCALE)
+            .cast("long")
+            .alias("l2_x1e6"),
+        )
+    )
+    return _topk_two_phase(
+        scored, k, [F.asc("l2_x1e6"), F.asc("cand_id")], part_col="query_id"
+    ).select("query_id", "cand_id", "l2_x1e6", "rank")
+
+
 # ---------------------------------------------------------------------------
 # oracled driver queries
 # ---------------------------------------------------------------------------
@@ -226,6 +264,17 @@ def q_pq_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "v"
     )
     return pq_adc_topk(e, q, n).orderBy("query_id", "rank")
+
+
+def q_pq_refine_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return pq_refine_topk(e, q, n).orderBy("query_id", "rank")
 
 
 def _duck_l2(xv: str, yv: str) -> str:
@@ -329,8 +378,49 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+def sql_pq_refine_topk(k: int = PQ_TOP_K,
+                       factor: int = PQ_REFINE_FACTOR) -> str:
+    d = _duck_l2("q.sv", "c.cv")
+    exact = _duck_l2("qe.v", "ce.v")
+    return f"""
+WITH {_sql_pq_ctes()},
+qsub AS (
+  SELECT vec_id AS query_id, sub, sv FROM sub WHERE vec_id < {N_QUERIES}),
+lut AS (
+  SELECT q.query_id, q.sub, c.code,
+         CAST(floor({d} * {_DSCALE}) AS BIGINT) AS d
+  FROM qsub q JOIN books c USING (sub)),
+adc AS (
+  SELECT l.query_id, cd.vec_id AS cand_id, sum(l.d) AS adc
+  FROM codes cd JOIN lut l ON cd.sub = l.sub AND cd.code = l.code
+  WHERE cd.vec_id <> l.query_id
+  GROUP BY l.query_id, cd.vec_id),
+short AS (
+  SELECT query_id, cand_id FROM (
+    SELECT query_id, cand_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc ASC, cand_id ASC) AS rn
+    FROM adc) z WHERE rn <= {k * factor}),
+ex AS (
+  SELECT s.query_id, s.cand_id,
+         CAST(floor({exact} * {_DSCALE}) AS BIGINT) AS l2_x1e6
+  FROM short s
+  JOIN e ce ON ce.vec_id = s.cand_id
+  JOIN e qe ON qe.vec_id = s.query_id),
+r AS (
+  SELECT query_id, cand_id, l2_x1e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY l2_x1e6 ASC, cand_id ASC)
+              AS BIGINT) AS rank
+  FROM ex)
+SELECT query_id, cand_id, l2_x1e6, rank FROM r
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
 def registry() -> dict:
     return {
         "pq_codes": (q_pq_codes, sql_pq_codes()),
         "pq_topk": (q_pq_topk, sql_pq_topk()),
+        "pq_refine_topk": (q_pq_refine_topk, sql_pq_refine_topk()),
     }

@@ -74,3 +74,27 @@ def test_adc_topk_recall_vs_exact_l2(spark, vecs):
         g = g.sort_values("rank")
         assert list(g["rank"]) == list(range(1, PQ_TOP_K + 1))
         assert g["adc_x1e6"].is_monotonic_increasing
+
+
+def test_refine_topk_recovers_exact_neighbors(spark, vecs):
+    """The two-stage search (ADC shortlist -> exact re-rank) must recover
+    most of the exact top-k the pure-ADC stage misses."""
+    from cdc_spark.functions.pq import pq_refine_topk
+
+    n = vecs.count()
+    rows = vecs.collect()
+    by_id = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    got = pq_refine_topk(vecs, q, n).toPandas()
+    recalls = []
+    for qid in range(N_QUERIES):
+        qv = by_id[qid]
+        exact = sorted(
+            ((float(np.sum((qv - v) ** 2)), cid) for cid, v in by_id.items()
+             if cid != qid)
+        )[:PQ_TOP_K]
+        approx_ids = set(got[got.query_id == qid]["cand_id"])
+        recalls.append(len({c for _, c in exact} & approx_ids) / PQ_TOP_K)
+    assert np.mean(recalls) >= 0.85, recalls
