@@ -152,8 +152,26 @@ def pq_codebooks(e, n_vecs: int, m: int = PQ_M, ksub: int = PQ_KSUB,
         _subvectors(_train_sample(e, n_vecs, ksub * m), m, dsub)
         .localCheckpoint(eager=False)
     )
-    books = t.filter(F.col("vec_id") < ksub).select(
-        "sub", F.col("vec_id").alias("code"), F.col("sv").alias("cv")
+    # seeds = the first ksub vectors OF THE TRAINING SAMPLE, with dense
+    # codes assigned by a ksub-row control-plane read (the same O(1)
+    # driver-read budget as the corpus count). NOT `vec_id < ksub`: above
+    # the sampling cap most of those ids are filtered out of the sample
+    # and the codebooks silently collapse (at 1M vectors ~4 of 64 seeds
+    # would survive; beyond that, zero — an empty codes frame with no
+    # error). In the oracled fixture regime (no sampling, contiguous ids)
+    # the two rules coincide, so the DuckDB mirror keeps the simple
+    # predicate.
+    ids = [
+        r["vec_id"]
+        for r in t.select("vec_id").distinct().orderBy("vec_id")
+        .limit(ksub).collect()
+    ]
+    spark = t.sparkSession
+    seed_ids = spark.createDataFrame(
+        [(int(v), c) for c, v in enumerate(ids)], "vec_id BIGINT, code BIGINT"
+    )
+    books = t.join(F.broadcast(seed_ids), "vec_id").select(
+        "sub", "code", F.col("sv").alias("cv")
     )
     for _ in range(iters):
         books = _pq_update(t, _pq_assign(t, books), dsub).localCheckpoint(
@@ -173,14 +191,21 @@ def pq_codes(e, n_vecs: int, m: int = PQ_M, ksub: int = PQ_KSUB,
 
 
 def pq_adc_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K, m: int = PQ_M,
-                ksub: int = PQ_KSUB, dim: int = EMB_DIM):
+                ksub: int = PQ_KSUB, dim: int = EMB_DIM, index=None):
     """Asymmetric-distance top-k: per-query LUT (exact query subvector vs
     every codebook centroid, floored to integer micro-units) broadcast
     against the codes table; score = one partial-aggregated BIGINT sum per
     (query, candidate); ranking is the two-phase salted reduce. The n x m
     codes are the ONLY corpus-sized input — raw vectors are never touched
-    at search time."""
-    codes, books = pq_codes(e, n_vecs, m=m, ksub=ksub, dim=dim)
+    at search time.
+
+    ``index`` = a prebuilt ``(codes, books)`` pair (e.g. codes read back
+    from their stored parquet — the production shape, where encode runs
+    once and every search reuses it); when None, the index is trained and
+    encoded in-line (the oracled driver-query form)."""
+    codes, books = index if index is not None else pq_codes(
+        e, n_vecs, m=m, ksub=ksub, dim=dim
+    )
     qsub = _subvectors(
         queries.select(F.col("query_id").alias("vec_id"), "v"), m, dim // m
     ).select(F.col("vec_id").alias("query_id"), "sub", "sv")

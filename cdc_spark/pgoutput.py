@@ -584,9 +584,21 @@ class PgOutputDecoder:
             have = self._timeline.setdefault(relid, [])
             known = {v[0] for v in have}
             merged: list = []
+            by_lsn = {h[0]: h for h in have}
             for v in versions:
                 if v[0] in known:
-                    merged.append(v)  # replay: re-derive its diff below
+                    # replay of an already-merged version: re-derive its
+                    # diff below — but a CONFLICTING version at a stored
+                    # LSN is the cross-batch twin of relation_timeline's
+                    # same-LSN guard and must fail just as loudly (the
+                    # width check cannot catch same-width renames/retypes)
+                    if tuple(by_lsn[v[0]][1:]) != tuple(v[1:]):
+                        raise ValueError(
+                            f"pgoutput: Relation for relid {relid} at lsn "
+                            f"{v[0]} conflicts with the registry's stored "
+                            f"version — protocol violation"
+                        )
+                    merged.append(v)
                     continue
                 # a reconnecting connector re-sends an unchanged Relation
                 # at a fresh LSN (the pgoutput per-connection contract);

@@ -337,3 +337,24 @@ def test_write_segments_mtimes_follow_segment_order(spark, tmp_path):
         stamps.append(max(os.path.getmtime(f) for f in files))
     assert stamps == sorted(stamps)
     assert len(set(stamps)) == len(stamps)  # strictly increasing
+
+
+def test_decoder_registry_rejects_cross_batch_lsn_conflict(spark, tmp_path):
+    """A Relation at an already-stored LSN with DIFFERENT content must
+    fail loudly across batches too (same-width renames defeat the tuple
+    width check) — the cross-batch twin of the in-batch same-LSN guard."""
+    from cdc_spark.pgoutput import PgOutputDecoder
+
+    reg = str(tmp_path / "rels.json")
+    dec = PgOutputDecoder(reg)
+    dec(_bin_df(spark, [(0, enc_relation(1, "t", [("a", "string")]))])).collect()
+    with pytest.raises(Exception, match="conflicts with the registry"):
+        dec(
+            _bin_df(spark, [(0, enc_relation(1, "t", [("b", "string")]))])
+        ).collect()
+    # the identical version replays cleanly
+    out = dec(
+        _bin_df(spark, [(0, enc_relation(1, "t", [("a", "string")])),
+                        (1, enc_insert(1, ["x"]))])
+    ).collect()
+    assert [r["op"] for r in out] == ["insert"]

@@ -48,7 +48,7 @@ def test_codes_complete_and_deterministic(spark, vecs):
 
 
 def test_adc_topk_recall_vs_exact_l2(spark, vecs):
-    """ADC over (m=8, ksub=16) codes must place most of the exact-L2
+    """ADC over the shipped (PQ_M=16, PQ_KSUB=64) codes must place most of the exact-L2
     top-k in its own top-k on the fixture — the measured evidence that the
     compressed index is a usable ANN, not just a hash-matched artifact."""
     n = vecs.count()
@@ -98,3 +98,45 @@ def test_refine_topk_recovers_exact_neighbors(spark, vecs):
         approx_ids = set(got[got.query_id == qid]["cand_id"])
         recalls.append(len({c for _, c in exact} & approx_ids) / PQ_TOP_K)
     assert np.mean(recalls) >= 0.85, recalls
+
+
+def test_codebooks_survive_the_sampling_regime(spark):
+    """Above the training-sample cap, seeds must come from the SAMPLE
+    (seeding by `vec_id < ksub` would filter most seeds away and collapse
+    the codebooks — the round-5 review finding). Probe with a tiny cap via
+    small (m, ksub) on a corpus far above it."""
+    from cdc_spark.functions.pq import pq_codebooks
+    from cdc_spark.functions.similarity import IVF_TRAIN_PER_CENT
+
+    m, ksub, dim = 2, 4, 8
+    n = IVF_TRAIN_PER_CENT * ksub * m * 20  # 20x over the sampling cap
+    vecs = spark.range(n).selectExpr(
+        "id AS vec_id",
+        f"transform(sequence(1, {dim}), "
+        "i -> CAST(pmod(xxhash64(id, i), 997) AS DOUBLE) / 997.0) AS v",
+    )
+    books = pq_codebooks(vecs, n, m=m, ksub=ksub, dim=dim).toPandas()
+    # every subspace keeps (close to) ksub live codes — Lloyd may drop an
+    # empty cluster, but a collapsed seeding would leave ~0-1
+    per_sub = books.groupby("sub").size()
+    assert set(per_sub.index) == set(range(m))
+    assert (per_sub >= ksub - 1).all(), per_sub
+
+
+def test_adc_topk_accepts_prebuilt_index(spark, vecs):
+    """`index=` must reuse stored codes/books (the production search
+    shape) and produce exactly the in-line result."""
+    from cdc_spark.functions.pq import pq_codes
+
+    n = vecs.count()
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    inline = pq_adc_topk(vecs, q, n).toPandas()
+    stored = pq_codes(vecs, n)
+    reused = pq_adc_topk(vecs, q, n, index=stored).toPandas()
+    cols = ["query_id", "rank"]
+    a = inline.sort_values(cols).reset_index(drop=True)
+    b = reused.sort_values(cols).reset_index(drop=True)
+    assert (a["cand_id"].to_numpy() == b["cand_id"].to_numpy()).all()
+    assert (a["adc_x1e6"].to_numpy() == b["adc_x1e6"].to_numpy()).all()
