@@ -443,6 +443,202 @@ WHERE rank <= {k} ORDER BY query_id, rank
 """
 
 
+# ---------------------------------------------------------------------------
+# incremental PQ index: streaming-maintained compressed ANN
+# ---------------------------------------------------------------------------
+
+
+class PqIndex:
+    """Persistent PQ codes over a changing vector corpus — the compressed
+    twin of :class:`~cdc_spark.functions.emb_index.EmbIndex`: each batch
+    encodes ONLY its changed vectors against a FROZEN codebook and
+    LWW-merges the (doc_id, sub) -> code rows into a merge-on-read
+    LakeTable, so per-batch cost is O(batch), search reads only the
+    codes lake, and the raw vectors need not be stored here at all.
+
+    Codebooks are trained ONCE (from an explicit :meth:`train` corpus, or
+    lazily from the first update batch) and persisted atomically to
+    ``pq_books.json`` BEFORE any codes commit — on crash/replay the
+    stored books are reused, so codes stay comparable forever; re-sizing
+    is a rebuild, the same contract as the MinHash/embedding indexes'
+    banding. Exact-float round-trip through JSON is lossless (Python
+    serializes doubles shortest-round-trip).
+
+    Simpler than EmbIndex by construction: a doc's index rows are exactly
+    its m (doc_id, sub) keys, so an update REPLACES them by per-key LWW
+    (no superseded-posting tombstones, no pre-batch version lookup), a
+    stale redelivery loses at read time on its lower ``_lsn``, and a
+    delete tombstones exactly m known keys."""
+
+    FIELDS = [("doc_id", "long"), ("sub", "long"), ("code", "long")]
+    KEY = ("doc_id", "sub")
+
+    def __init__(self, spark, root: str, m: int = PQ_M, ksub: int = PQ_KSUB,
+                 dim: int = EMB_DIM, n_buckets: int = 8):
+        import json
+        import os
+
+        from ..lake import LakeTable
+
+        self.spark = spark
+        self.root = root
+        self._books_path = os.path.join(root, "pq_books.json")
+        self._books: list | None = None
+        if os.path.exists(self._books_path):
+            with open(self._books_path) as fh:
+                stored = json.load(fh)
+            self.m, self.ksub, self.dim = (
+                stored["m"], stored["ksub"], stored["dim"],
+            )
+            self._books = stored["books"]
+        else:
+            if dim % m:
+                raise ValueError(f"dim={dim} must divide into m={m}")
+            self.m, self.ksub, self.dim = m, ksub, dim
+        codes_root = os.path.join(root, "codes")
+        if LakeTable.exists(codes_root):
+            self.codes_lake = LakeTable(spark, codes_root).refresh()
+        else:
+            self.codes_lake = LakeTable.create(
+                spark, codes_root, fields=list(self.FIELDS),
+                key=self.KEY, n_buckets=n_buckets, table="pq_codes",
+                merge_on_read=True,
+            )
+        self.last_update_stats: dict = {}
+
+    # -- codebooks ---------------------------------------------------------
+
+    def trained(self) -> bool:
+        return self._books is not None
+
+    def train(self, vecs, n_vecs: int) -> None:
+        """Train and FREEZE the codebooks from ``vecs`` (doc_id,
+        embedding). Idempotent: stored books always win (a replay after a
+        crash mid-first-batch reuses them instead of retraining on a
+        possibly different frame)."""
+        import json
+        import os
+
+        if self._books is not None:
+            return
+        e = vecs.select(
+            "doc_id",
+            F.col("embedding").cast("array<double>").alias("v"),
+        ).withColumnRenamed("doc_id", "vec_id")
+        books = pq_codebooks(e, n_vecs, m=self.m, ksub=self.ksub,
+                             dim=self.dim)
+        rows = books.collect()  # m x ksub rows — control-plane sized
+        payload = sorted(
+            (int(r["sub"]), int(r["code"]), [float(x) for x in r["cv"]])
+            for r in rows
+        )
+        os.makedirs(self.root, exist_ok=True)
+        tmp = self._books_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"m": self.m, "ksub": self.ksub, "dim": self.dim,
+                 "books": payload},
+                fh,
+            )
+        os.replace(tmp, self._books_path)
+        self._books = payload
+
+    def books(self):
+        """The frozen codebooks as a (sub, code, cv) frame."""
+        if self._books is None:
+            raise RuntimeError("PqIndex: codebooks not trained yet")
+        return self.spark.createDataFrame(
+            [(s, c, cv) for s, c, cv in self._books],
+            "sub BIGINT, code BIGINT, cv ARRAY<DOUBLE>",
+        )
+
+    # -- updates -----------------------------------------------------------
+
+    def codes(self):
+        """The live compressed index: (doc_id, sub, code)."""
+        return self.codes_lake.read()
+
+    def update(self, vecs, lsn: int, batch_id: int,
+               new_truncate_lsn: int | None = None) -> None:
+        """Apply one batch of vector changes: (doc_id, embedding
+        [, _deleted][, _lsn]) for the NEW / CHANGED / DELETED docs only.
+        Encodes the live rows against the frozen books (training them
+        first if this is the very first batch), tombstones m rows per
+        delete, and commits idempotently per ``batch_id``."""
+        has_del = "_deleted" in vecs.columns
+        live = vecs.filter(~F.col("_deleted")) if has_del else vecs
+        if not self.trained():
+            self.train(live.select("doc_id", "embedding"),
+                       n_vecs=live.count())
+        if "_lsn" in vecs.columns:
+            lsn_map = vecs.select(
+                "doc_id",
+                F.coalesce(F.col("_lsn").cast("long"),
+                           F.lit(lsn).cast("long")).alias("_row_lsn"),
+            ).distinct()
+        else:
+            lsn_map = vecs.select("doc_id").distinct().withColumn(
+                "_row_lsn", F.lit(lsn).cast("long")
+            )
+        e = live.select(
+            F.col("doc_id").alias("vec_id"),
+            F.col("embedding").cast("array<double>").alias("v"),
+        )
+        enc = _pq_assign(
+            _subvectors(e, self.m, self.dim // self.m), self.books()
+        ).withColumnRenamed("vec_id", "doc_id")
+
+        def _stamped(df, deleted=False):
+            return df.join(lsn_map, ["doc_id"]).select(
+                *[c for c in df.columns],
+                F.col("_row_lsn").alias("_lsn"),
+                F.lit(deleted).alias("_deleted"),
+                F.lit(None).cast("map<string,string>").alias("_extra"),
+            )
+
+        batch = _stamped(enc.select("doc_id", "sub", "code"))
+        if has_del:
+            dead = vecs.filter(F.col("_deleted")).select("doc_id").distinct()
+            subs = self.spark.range(self.m).select(
+                F.col("id").alias("sub")
+            )
+            batch = batch.unionByName(
+                _stamped(
+                    dead.crossJoin(F.broadcast(subs)).select(
+                        "doc_id", "sub",
+                        F.lit(None).cast("long").alias("code"),
+                    ),
+                    deleted=True,
+                )
+            )
+        info = self.codes_lake.merge(
+            batch, batch_id=batch_id, lsn_hwm=lsn,
+            new_truncate_lsn=new_truncate_lsn,
+        )
+        self.codes_lake.refresh()
+        self.last_update_stats = {"merge": info}
+
+    def rebuild(self, vecs, lsn: int, batch_id: int,
+                truncate_lsn: int | None = None) -> None:
+        """Full re-encode after a corpus TRUNCATE: same pipeline fed the
+        post-truncate corpus, committed with a truncate watermark that
+        kills every older code row in O(1). The codebooks stay frozen —
+        codes remain comparable across the truncate."""
+        t = (lsn - 1) if truncate_lsn is None else truncate_lsn
+        self.update(vecs, lsn, batch_id, new_truncate_lsn=t)
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, queries, k: int = PQ_TOP_K):
+        """ADC top-k per query over the LIVE codes (no raw-vector access):
+        ``queries`` is (query_id, v)."""
+        return pq_adc_topk(
+            None, queries, 0, k=k, m=self.m, ksub=self.ksub, dim=self.dim,
+            index=(self.codes().withColumnRenamed("doc_id", "vec_id"),
+                   self.books()),
+        )
+
+
 def registry() -> dict:
     return {
         "pq_codes": (q_pq_codes, sql_pq_codes()),
