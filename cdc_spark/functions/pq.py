@@ -313,10 +313,12 @@ def _duck_l2(xv: str, yv: str) -> str:
 
 
 def _sql_pq_ctes(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = EMB_DIM,
-                 iters: int = IVF_LLOYD_ITERS) -> str:
+                 iters: int = IVF_LLOYD_ITERS, src: str | None = None) -> str:
     """Shared CTE chain: subvector frame + Lloyd unrolled + final assign
     (``codes``). Mirrors the Spark training exactly in the fixture regime
-    (n below the sampling cap)."""
+    (n below the sampling cap). ``src`` names an existing (vec_id, v) CTE
+    to quantize (e.g. the IVF residual frame); None reads the embeddings
+    view and emits the ``e`` CTE itself."""
     dsub = dim // m
 
     def assign(name: str, books: str) -> str:
@@ -351,12 +353,17 @@ def _sql_pq_ctes(m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = EMB_DIM,
         lloyd.append(update(f"b{i + 1}", f"t{i + 1}"))
         books = f"b{i + 1}"
     chain = ",\n".join(lloyd)
-    return f"""e AS (
+    if src is None:
+        head = """e AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-sub AS (
+"""
+        src = "e"
+    else:
+        head = ""
+    return f"""{head}sub AS (
   SELECT vec_id, s.sub, list_slice(v, s.sub * {dsub} + 1,
                                    s.sub * {dsub} + {dsub}) AS sv
-  FROM e, (SELECT unnest(range({m})) AS sub) s),
+  FROM {src}, (SELECT unnest(range({m})) AS sub) s),
 b0 AS (
   SELECT sub, vec_id AS code, sv AS cv FROM sub WHERE vec_id < {ksub}),
 {chain},
@@ -439,6 +446,232 @@ r AS (
               AS BIGINT) AS rank
   FROM ex)
 SELECT query_id, cand_id, l2_x1e6, rank FROM r
+WHERE rank <= {k} ORDER BY query_id, rank
+"""
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: coarse cells + PQ over RESIDUALS (the FAISS IVFPQ composition)
+# ---------------------------------------------------------------------------
+
+#: cells probed per query by the ivfpq search (fixture; the same
+#: ivf_autoprobe rule as plain IVF applies at scale)
+IVFPQ_NPROBE = 2
+
+
+def _unscale(cents):
+    """IVF centroids come out of the integer-mean Lloyd x_CSCALE (cosine
+    is scale-invariant there); residual arithmetic needs true units."""
+    return cents.select(
+        "cent_id",
+        F.transform("cv", lambda x: x / F.lit(float(_CSCALE))).alias("cv"),
+    )
+
+
+def _residuals(e, cents, assign):
+    """(vec_id, cell, v = vector - its cell's TRUE centroid)."""
+    cu = _unscale(cents).withColumnRenamed("cent_id", "cell")
+    return (
+        e.join(assign, "vec_id")
+        .join(F.broadcast(cu), "cell")
+        .select(
+            "vec_id", "cell",
+            F.zip_with("v", "cv", lambda x, y: x - y).alias("v"),
+        )
+    )
+
+
+def ivfpq_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K,
+               nlist: int | None = None, nprobe: int = IVFPQ_NPROBE,
+               m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = EMB_DIM):
+    """The production ANN composition (FAISS-style IVFPQ): vectors are
+    bucketed into IVF cells and PQ-encoded as RESIDUALS from their cell
+    centroid (residuals are tighter than raw vectors, so the same ksub
+    quantizes them better); a query probes its ``nprobe`` nearest cells
+    and scores ONLY those cells' candidates, by ADC against a per-(query,
+    cell) residual LUT.
+
+    100 TB shape: the scan cost is nprobe/nlist of the codes table
+    (cell-partitioned, prunable), the LUT is q x nprobe x m x ksub
+    integerized rows (KB-scale, broadcast), scoring is one
+    partial-aggregated BIGINT sum per (query, candidate), ranking is the
+    two-phase salted reduce — the raw vectors are touched by nothing.
+
+    Cell assignment/probing reuse the oracled IVF convention (rounded
+    cosine, deterministic tie-breaks); the residual codebooks are shared
+    across cells (one m x ksub table, the standard IVFPQ layout)."""
+    from pyspark.sql import Window
+
+    from .similarity import N_CENTROIDS, _cos, _ivf_assign, ivf_centroids
+
+    if nlist is None:
+        nlist = N_CENTROIDS
+    cents = ivf_centroids(e, dim=dim, nlist=nlist).localCheckpoint(
+        eager=False
+    )
+    assign = _ivf_assign(e, cents).localCheckpoint(eager=False)
+    res = _residuals(e, cents, assign)
+    books = pq_codebooks(res.select("vec_id", "v"), n_vecs, m=m, ksub=ksub,
+                         dim=dim)
+    codes = _pq_assign(_subvectors(res.select("vec_id", "v"), m, dim // m),
+                       books).join(assign, "vec_id")
+
+    # probes: top-nprobe cells per query (window partitioned per query —
+    # N_QUERIES partitions of nlist rows, never corpus-sized)
+    scored_cells = F.broadcast(queries).crossJoin(cents).select(
+        "query_id", "cent_id", "v",
+        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored_cells.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("query_id", F.col("cent_id").alias("cell"), "v")
+    )
+    # per-(query, probed cell) residual -> subvectors -> integerized LUT
+    cu = _unscale(cents).withColumnRenamed("cent_id", "cell")
+    qres = probes.join(F.broadcast(cu), "cell").select(
+        "query_id", "cell",
+        F.zip_with("v", "cv", lambda x, y: x - y).alias("v"),
+    )
+    qsub = qres.select(
+        "query_id", "cell",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(s).cast("bigint").alias("sub"),
+                F.slice("v", s * (dim // m) + 1, dim // m).alias("sv"),
+            )
+            for s in range(m)
+        ])).alias("x"),
+    ).select("query_id", "cell", F.col("x.sub").alias("sub"),
+             F.col("x.sv").alias("sv"))
+    lut = qsub.join(F.broadcast(books), "sub").select(
+        "query_id", "cell", "sub", "code",
+        F.floor(_l2(F.col("sv"), F.col("cv")) * _DSCALE)
+        .cast("long")
+        .alias("d"),
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "cand_id")
+        .join(F.broadcast(lut), ["cell", "sub", "code"])
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .groupBy("query_id", "cand_id")
+        .agg(F.sum("d").alias("adc_x1e6"))
+    )
+    return _topk_two_phase(
+        scored, k, [F.asc("adc_x1e6"), F.asc("cand_id")],
+        part_col="query_id",
+    ).select("query_id", "cand_id", "adc_x1e6", "rank")
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    n = e.count()
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    return ivfpq_topk(e, q, n).orderBy("query_id", "rank")
+
+
+def sql_ivfpq_topk(k: int = PQ_TOP_K, nprobe: int = IVFPQ_NPROBE,
+                   m: int = PQ_M, ksub: int = PQ_KSUB,
+                   dim: int = EMB_DIM) -> str:
+    """DuckDB mirror: IVF Lloyd unrolled (same text as sql_ivf_topk's
+    builder) -> unscaled centroids -> residual frame -> the PQ CTE chain
+    over it -> probed ADC."""
+    from .similarity import (
+        IVF_LLOYD_ITERS as _IT,
+        N_CENTROIDS,
+        _duck_cos_expr,
+    )
+
+    def assign_cte(name: str, cents: str) -> str:
+        sim = _duck_cos_expr("e.v", "c.cv", 6)
+        return f"""{name} AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT e.vec_id, c.cent_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {sim} DESC, c.cent_id ASC) rn
+    FROM e, {cents} c) WHERE rn = 1)"""
+
+    def update_cte(name: str, assign: str) -> str:
+        sums = ", ".join(
+            f"sum(CAST(floor(v[{d + 1}] * {_CSCALE}) AS BIGINT)) AS s{d}"
+            for d in range(dim)
+        )
+        means = ", ".join(
+            f"CAST((s{d} - (((s{d} % n) + n) % n)) // n AS DOUBLE)"
+            for d in range(dim)
+        )
+        return f"""{name} AS (
+  SELECT cent_id, [{means}] AS cv FROM (
+    SELECT cell AS cent_id, count(*) AS n, {sums}
+    FROM e JOIN {assign} USING (vec_id) GROUP BY cell) t)"""
+
+    lloyd = []
+    cents = "c0"
+    for i in range(_IT):
+        lloyd.append(assign_cte(f"a{i + 1}", cents))
+        lloyd.append(update_cte(f"c{i + 1}", f"a{i + 1}"))
+        cents = f"c{i + 1}"
+    lloyd_sql = ",\n".join(lloyd)
+    sim_q = _duck_cos_expr("q.v", "c.cv", 6)
+    d_lut = _duck_l2("qs.sv", "bk.cv")
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c0 AS (SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < {N_CENTROIDS}),
+{lloyd_sql},
+{assign_cte("assign", cents)},
+cu AS (SELECT cent_id AS cell,
+              list_transform(cv, x -> x / {float(_CSCALE)}) AS cv
+       FROM {cents}),
+res AS (
+  SELECT e.vec_id, a.cell,
+         list_transform(range(1, {dim} + 1),
+                        i -> e.v[i] - cu.cv[i]) AS v
+  FROM e JOIN assign a USING (vec_id) JOIN cu ON cu.cell = a.cell),
+{_sql_pq_ctes(m=m, ksub=ksub, dim=dim, src="res")},
+cellcodes AS (
+  SELECT c.vec_id, a.cell, c.sub, c.code
+  FROM codes c JOIN assign a USING (vec_id)),
+probes AS (
+  SELECT query_id, cell, v FROM (
+    SELECT q.vec_id AS query_id, c.cent_id AS cell, q.v,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {sim_q} DESC, c.cent_id ASC) rn
+    FROM e q, {cents} c WHERE q.vec_id < {N_QUERIES}) z
+  WHERE rn <= {nprobe}),
+qres AS (
+  SELECT p.query_id, p.cell,
+         list_transform(range(1, {dim} + 1),
+                        i -> p.v[i] - cu.cv[i]) AS v
+  FROM probes p JOIN cu USING (cell)),
+qsub AS (
+  SELECT query_id, cell, s.sub,
+         list_slice(v, s.sub * {dim // m} + 1,
+                    s.sub * {dim // m} + {dim // m}) AS sv
+  FROM qres, (SELECT unnest(range({m})) AS sub) s),
+lut AS (
+  SELECT qs.query_id, qs.cell, qs.sub, bk.code,
+         CAST(floor({d_lut} * {_DSCALE}) AS BIGINT) AS d
+  FROM qsub qs JOIN books bk USING (sub)),
+scored AS (
+  SELECT l.query_id, cc.vec_id AS cand_id, sum(l.d) AS adc_x1e6
+  FROM cellcodes cc
+  JOIN lut l ON cc.cell = l.cell AND cc.sub = l.sub AND cc.code = l.code
+  WHERE cc.vec_id <> l.query_id
+  GROUP BY l.query_id, cc.vec_id),
+r AS (
+  SELECT query_id, cand_id, CAST(adc_x1e6 AS BIGINT) AS adc_x1e6,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY adc_x1e6 ASC, cand_id ASC)
+              AS BIGINT) AS rank
+  FROM scored)
+SELECT query_id, cand_id, adc_x1e6, rank FROM r
 WHERE rank <= {k} ORDER BY query_id, rank
 """
 
@@ -644,4 +877,5 @@ def registry() -> dict:
         "pq_codes": (q_pq_codes, sql_pq_codes()),
         "pq_topk": (q_pq_topk, sql_pq_topk()),
         "pq_refine_topk": (q_pq_refine_topk, sql_pq_refine_topk()),
+        "ivfpq_topk": (q_ivfpq_topk, sql_ivfpq_topk()),
     }

@@ -140,3 +140,36 @@ def test_adc_topk_accepts_prebuilt_index(spark, vecs):
     b = reused.sort_values(cols).reset_index(drop=True)
     assert (a["cand_id"].to_numpy() == b["cand_id"].to_numpy()).all()
     assert (a["adc_x1e6"].to_numpy() == b["adc_x1e6"].to_numpy()).all()
+
+
+def test_ivfpq_topk_probes_beat_random_and_respect_probe_budget(spark, vecs):
+    """IVFPQ scans only nprobe/nlist of the codes yet must stay close to
+    the full-scan PQ recall — the evidence the residual composition works
+    (fixture: 0.54 at 2/16 cells probed vs 0.60 full-scan ADC)."""
+    from cdc_spark.functions.pq import IVFPQ_NPROBE, ivfpq_topk
+    from cdc_spark.functions.similarity import N_CENTROIDS
+
+    n = vecs.count()
+    rows = vecs.collect()
+    by_id = {r["vec_id"]: np.array(r["v"]) for r in rows}
+    q = vecs.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    got = ivfpq_topk(vecs, q, n).toPandas()
+    recalls = []
+    for qid in range(N_QUERIES):
+        qv = by_id[qid]
+        exact = sorted(
+            ((float(np.sum((qv - v) ** 2)), cid) for cid, v in by_id.items()
+             if cid != qid)
+        )[:PQ_TOP_K]
+        approx_ids = set(got[got.query_id == qid]["cand_id"])
+        recalls.append(len({c for _, c in exact} & approx_ids) / PQ_TOP_K)
+    # scanning nprobe/nlist of the corpus: far above random (10/500), in
+    # reach of the full-scan ADC's 0.60
+    assert IVFPQ_NPROBE / N_CENTROIDS <= 0.25
+    assert np.mean(recalls) >= 0.4, recalls
+    for qid, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, PQ_TOP_K + 1))
+        assert g["adc_x1e6"].is_monotonic_increasing
