@@ -100,6 +100,56 @@ def emb_bands(
     return out
 
 
+def collapse_batch(vecs: DataFrame, default_lsn: int) -> DataFrame:
+    """LWW-collapse a change batch to ONE row per doc_id BEFORE indexing:
+    the max-``_lsn`` version wins, and at an exact LSN tie a tombstone
+    beats a live row (deterministic). Without the collapse, a batch that
+    folds a delete + re-insert of one doc stamps BOTH versions' index
+    rows, leaving the read-side LWW to tie-break a code row against a
+    tombstone at the same LSN — and the encoder would blend both
+    embedding versions into chimera fingerprints. Two DISTINCT live
+    payloads at one (doc_id, _lsn) are a caller contract violation
+    (max_by picks one arbitrarily); identical redeliveries collapse
+    safely. Shared by EmbIndex and PqIndex."""
+    cols = vecs.columns
+    lsn_col = (
+        F.coalesce(F.col("_lsn").cast("long"),
+                   F.lit(default_lsn).cast("long"))
+        if "_lsn" in cols
+        else F.lit(default_lsn).cast("long")
+    )
+    del_col = (
+        F.coalesce(F.col("_deleted"), F.lit(False))
+        if "_deleted" in cols
+        else F.lit(False)
+    )
+    s = vecs.select(
+        "doc_id",
+        F.struct(*[F.col(c) for c in cols]).alias("_row"),
+        lsn_col.alias("_l"),
+        del_col.alias("_d"),
+    )
+    out = s.groupBy("doc_id").agg(
+        F.expr("max_by(_row, struct(_l, _d))").alias("_row")
+    )
+    return out.select(*[F.col(f"_row.{c}").alias(c) for c in cols])
+
+
+def stamp_rows(df: DataFrame, lsn_map: DataFrame, deleted: bool = False,
+               broadcast: bool = False) -> DataFrame:
+    """Attach the lake bookkeeping columns (per-row ``_lsn`` from the
+    batch's lsn_map, ``_deleted``, empty ``_extra``) — the one stamping
+    implementation shared by the incremental indexes."""
+    right = F.broadcast(lsn_map) if broadcast else lsn_map
+    j = df.join(right, ["doc_id"])
+    return j.select(
+        *[c for c in df.columns],
+        F.col("_row_lsn").alias("_lsn"),
+        F.lit(deleted).alias("_deleted"),
+        F.lit(None).cast("map<string,string>").alias("_extra"),
+    )
+
+
 class EmbIndex:
     """Persistent sign-bucket LSH index over an embedding corpus.
 
@@ -232,6 +282,7 @@ class EmbIndex:
         new_truncate_lsn: int | None = None,
         emit_pairs: bool = True,
     ) -> DataFrame | None:
+        vecs = collapse_batch(vecs, lsn)
         has_del = "_deleted" in vecs.columns
         live = vecs.filter(~F.col("_deleted")) if has_del else vecs
         if "_lsn" in vecs.columns:
@@ -304,13 +355,7 @@ class EmbIndex:
         )
 
         def _stamped(df, deleted=False):
-            stamped = _j(df, lsn_map, ["doc_id"])
-            return stamped.select(
-                *[c for c in df.columns],
-                F.col("_row_lsn").alias("_lsn"),
-                F.lit(deleted).alias("_deleted"),
-                F.lit(None).cast("map<string,string>").alias("_extra"),
-            )
+            return stamp_rows(df, lsn_map, deleted=deleted, broadcast=pruned)
 
         # doc-major delta: the vectors themselves
         vbatch = _stamped(

@@ -83,10 +83,11 @@ def _l2(a, b):
     )
 
 
-def _subvectors(e, m: int, dsub: int):
-    """(vec_id, v) -> (vec_id, sub, sv): one row per subspace, sliced
+def _subvectors(e, m: int, dsub: int, keys=("vec_id",)):
+    """(keys..., v) -> (keys..., sub, sv): one row per subspace, sliced
     JVM-side. The explode multiplies row COUNT by m but total floats are
-    unchanged (each dimension appears once)."""
+    unchanged (each dimension appears once). ``keys`` are passed through
+    (e.g. ("query_id", "cell") for the ivfpq query-side LUT)."""
     subs = F.array(*[
         F.struct(
             F.lit(s).cast("bigint").alias("sub"),
@@ -94,8 +95,8 @@ def _subvectors(e, m: int, dsub: int):
         )
         for s in range(m)
     ])
-    return e.select("vec_id", F.explode(subs).alias("x")).select(
-        "vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
+    return e.select(*keys, F.explode(subs).alias("x")).select(
+        *keys, F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv")
     )
 
 
@@ -191,7 +192,8 @@ def pq_codes(e, n_vecs: int, m: int = PQ_M, ksub: int = PQ_KSUB,
 
 
 def pq_adc_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K, m: int = PQ_M,
-                ksub: int = PQ_KSUB, dim: int = EMB_DIM, index=None):
+                ksub: int = PQ_KSUB, dim: int = EMB_DIM, index=None,
+                exclude_self: bool = True):
     """Asymmetric-distance top-k: per-query LUT (exact query subvector vs
     every codebook centroid, floored to integer micro-units) broadcast
     against the codes table; score = one partial-aggregated BIGINT sum per
@@ -215,12 +217,16 @@ def pq_adc_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K, m: int = PQ_M,
         .cast("long")
         .alias("d"),
     )
-    scored = (
-        codes.withColumnRenamed("vec_id", "cand_id")
-        .join(F.broadcast(lut), ["sub", "code"])
-        .filter(F.col("cand_id") != F.col("query_id"))
-        .groupBy("query_id", "cand_id")
-        .agg(F.sum("d").alias("adc_x1e6"))
+    scored = codes.withColumnRenamed("vec_id", "cand_id").join(
+        F.broadcast(lut), ["sub", "code"]
+    )
+    if exclude_self:
+        # only meaningful when the queries ARE corpus members sharing the
+        # id space (the oracled driver queries); external query labels
+        # must not silently lose the colliding candidate
+        scored = scored.filter(F.col("cand_id") != F.col("query_id"))
+    scored = scored.groupBy("query_id", "cand_id").agg(
+        F.sum("d").alias("adc_x1e6")
     )
     return _topk_two_phase(
         scored, k, [F.asc("adc_x1e6"), F.asc("cand_id")],
@@ -468,9 +474,9 @@ def _unscale(cents):
     )
 
 
-def _residuals(e, cents, assign):
-    """(vec_id, cell, v = vector - its cell's TRUE centroid)."""
-    cu = _unscale(cents).withColumnRenamed("cent_id", "cell")
+def _residuals(e, cu, assign):
+    """(vec_id, cell, v = vector - its cell's TRUE centroid); ``cu`` is
+    the unscaled (cell, cv) centroid frame (built once by the caller)."""
     return (
         e.join(assign, "vec_id")
         .join(F.broadcast(cu), "cell")
@@ -482,7 +488,7 @@ def _residuals(e, cents, assign):
 
 
 def ivfpq_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K,
-               nlist: int | None = None, nprobe: int = IVFPQ_NPROBE,
+               nlist: int | None = None, nprobe: int | None = None,
                m: int = PQ_M, ksub: int = PQ_KSUB, dim: int = EMB_DIM):
     """The production ANN composition (FAISS-style IVFPQ): vectors are
     bucketed into IVF cells and PQ-encoded as RESIDUALS from their cell
@@ -502,15 +508,27 @@ def ivfpq_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K,
     across cells (one m x ksub table, the standard IVFPQ layout)."""
     from pyspark.sql import Window
 
-    from .similarity import N_CENTROIDS, _cos, _ivf_assign, ivf_centroids
+    from .similarity import (
+        _cos,
+        ivf_autoprobe,
+        ivf_autosize,
+        ivf_index,
+    )
 
     if nlist is None:
-        nlist = N_CENTROIDS
-    cents = ivf_centroids(e, dim=dim, nlist=nlist).localCheckpoint(
-        eager=False
-    )
-    assign = _ivf_assign(e, cents).localCheckpoint(eager=False)
-    res = _residuals(e, cents, assign)
+        # same corpus rule as plain IVF (fixture regime resolves to the
+        # oracle-pinned flat N_CENTROIDS quantizer; beyond it ivf_index
+        # trains the sampled two-level tree — coarse training never runs
+        # full-corpus Lloyd at scale)
+        nlist = ivf_autosize(n_vecs)
+    if nprobe is None:
+        nprobe = max(IVFPQ_NPROBE, ivf_autoprobe(nlist)) \
+            if nlist > IVFPQ_NPROBE else IVFPQ_NPROBE
+    cents, assign = ivf_index(e, nlist, n_vecs, dim=dim)
+    cents = cents.localCheckpoint(eager=False)
+    assign = assign.localCheckpoint(eager=False)
+    cu = _unscale(cents).withColumnRenamed("cent_id", "cell")
+    res = _residuals(e, cu, assign)
     books = pq_codebooks(res.select("vec_id", "v"), n_vecs, m=m, ksub=ksub,
                          dim=dim)
     codes = _pq_assign(_subvectors(res.select("vec_id", "v"), m, dim // m),
@@ -531,22 +549,13 @@ def ivfpq_topk(e, queries, n_vecs: int, k: int = PQ_TOP_K,
         .select("query_id", F.col("cent_id").alias("cell"), "v")
     )
     # per-(query, probed cell) residual -> subvectors -> integerized LUT
-    cu = _unscale(cents).withColumnRenamed("cent_id", "cell")
+    # (same cu frame and the same _subvectors slicing as the corpus side —
+    # one implementation, so codes and LUT can never desynchronize)
     qres = probes.join(F.broadcast(cu), "cell").select(
         "query_id", "cell",
         F.zip_with("v", "cv", lambda x, y: x - y).alias("v"),
     )
-    qsub = qres.select(
-        "query_id", "cell",
-        F.explode(F.array(*[
-            F.struct(
-                F.lit(s).cast("bigint").alias("sub"),
-                F.slice("v", s * (dim // m) + 1, dim // m).alias("sv"),
-            )
-            for s in range(m)
-        ])).alias("x"),
-    ).select("query_id", "cell", F.col("x.sub").alias("sub"),
-             F.col("x.sv").alias("sv"))
+    qsub = _subvectors(qres, m, dim // m, keys=("query_id", "cell"))
     lut = qsub.join(F.broadcast(books), "sub").select(
         "query_id", "cell", "sub", "code",
         F.floor(_l2(F.col("sv"), F.col("cv")) * _DSCALE)
@@ -584,41 +593,16 @@ def sql_ivfpq_topk(k: int = PQ_TOP_K, nprobe: int = IVFPQ_NPROBE,
     builder) -> unscaled centroids -> residual frame -> the PQ CTE chain
     over it -> probed ADC."""
     from .similarity import (
-        IVF_LLOYD_ITERS as _IT,
         N_CENTROIDS,
         _duck_cos_expr,
+        sql_ivf_assign_cte,
+        sql_ivf_lloyd_ctes,
     )
 
     def assign_cte(name: str, cents: str) -> str:
-        sim = _duck_cos_expr("e.v", "c.cv", 6)
-        return f"""{name} AS (
-  SELECT vec_id, cent_id AS cell FROM (
-    SELECT e.vec_id, c.cent_id,
-           row_number() OVER (PARTITION BY e.vec_id
-                              ORDER BY {sim} DESC, c.cent_id ASC) rn
-    FROM e, {cents} c) WHERE rn = 1)"""
+        return sql_ivf_assign_cte(name, cents, dim)
 
-    def update_cte(name: str, assign: str) -> str:
-        sums = ", ".join(
-            f"sum(CAST(floor(v[{d + 1}] * {_CSCALE}) AS BIGINT)) AS s{d}"
-            for d in range(dim)
-        )
-        means = ", ".join(
-            f"CAST((s{d} - (((s{d} % n) + n) % n)) // n AS DOUBLE)"
-            for d in range(dim)
-        )
-        return f"""{name} AS (
-  SELECT cent_id, [{means}] AS cv FROM (
-    SELECT cell AS cent_id, count(*) AS n, {sums}
-    FROM e JOIN {assign} USING (vec_id) GROUP BY cell) t)"""
-
-    lloyd = []
-    cents = "c0"
-    for i in range(_IT):
-        lloyd.append(assign_cte(f"a{i + 1}", cents))
-        lloyd.append(update_cte(f"c{i + 1}", f"a{i + 1}"))
-        cents = f"c{i + 1}"
-    lloyd_sql = ",\n".join(lloyd)
+    lloyd_sql, cents = sql_ivf_lloyd_ctes(dim)
     sim_q = _duck_cos_expr("q.v", "c.cv", 6)
     d_lut = _duck_l2("qs.sv", "bk.cv")
     return f"""
@@ -706,8 +690,9 @@ class PqIndex:
     FIELDS = [("doc_id", "long"), ("sub", "long"), ("code", "long")]
     KEY = ("doc_id", "sub")
 
-    def __init__(self, spark, root: str, m: int = PQ_M, ksub: int = PQ_KSUB,
-                 dim: int = EMB_DIM, n_buckets: int = 8):
+    def __init__(self, spark, root: str, m: int | None = None,
+                 ksub: int | None = None, dim: int | None = None,
+                 n_buckets: int = 8):
         import json
         import os
 
@@ -720,11 +705,25 @@ class PqIndex:
         if os.path.exists(self._books_path):
             with open(self._books_path) as fh:
                 stored = json.load(fh)
+            # stored meta is the source of truth; an EXPLICIT conflicting
+            # argument is a caller error (silently using the stored dim
+            # would slice only a prefix of wider vectors — no error, wrong
+            # codes), not a preference to honor
+            for name, arg in (("m", m), ("ksub", ksub), ("dim", dim)):
+                if arg is not None and arg != stored[name]:
+                    raise ValueError(
+                        f"PqIndex at {root}: stored {name}={stored[name]} "
+                        f"conflicts with requested {name}={arg} — "
+                        f"re-sizing is a rebuild under a new root"
+                    )
             self.m, self.ksub, self.dim = (
                 stored["m"], stored["ksub"], stored["dim"],
             )
             self._books = stored["books"]
         else:
+            m = PQ_M if m is None else m
+            ksub = PQ_KSUB if ksub is None else ksub
+            dim = EMB_DIM if dim is None else dim
             if dim % m:
                 raise ValueError(f"dim={dim} must divide into m={m}")
             self.m, self.ksub, self.dim = m, ksub, dim
@@ -761,6 +760,15 @@ class PqIndex:
         books = pq_codebooks(e, n_vecs, m=self.m, ksub=self.ksub,
                              dim=self.dim)
         rows = books.collect()  # m x ksub rows — control-plane sized
+        if not rows:
+            # freezing empty codebooks would make trained() True forever
+            # and every later assign an empty inner join — the index
+            # would silently never index anything
+            raise ValueError(
+                "PqIndex.train: empty training corpus — cannot freeze "
+                "codebooks (train on a non-empty bootstrap, or let the "
+                "first non-empty update batch train lazily)"
+            )
         payload = sorted(
             (int(r["sub"]), int(r["code"]), [float(x) for x in r["cv"]])
             for r in rows
@@ -796,13 +804,26 @@ class PqIndex:
         """Apply one batch of vector changes: (doc_id, embedding
         [, _deleted][, _lsn]) for the NEW / CHANGED / DELETED docs only.
         Encodes the live rows against the frozen books (training them
-        first if this is the very first batch), tombstones m rows per
-        delete, and commits idempotently per ``batch_id``."""
+        first if this is the very first batch — raising if that batch has
+        no live rows to train on), tombstones m rows per delete, and
+        commits idempotently per ``batch_id``. The batch is LWW-collapsed
+        to one row per doc first (a folded delete + re-insert would
+        otherwise stamp both versions and blend both embeddings)."""
+        from .emb_index import collapse_batch, stamp_rows
+
+        vecs = collapse_batch(vecs, lsn)
         has_del = "_deleted" in vecs.columns
         live = vecs.filter(~F.col("_deleted")) if has_del else vecs
         if not self.trained():
-            self.train(live.select("doc_id", "embedding"),
-                       n_vecs=live.count())
+            n_live = live.count()
+            if n_live == 0:
+                raise ValueError(
+                    "PqIndex.update: first batch has no live vectors to "
+                    "train the codebooks on — call train() with a "
+                    "bootstrap corpus first, or start with a batch that "
+                    "inserts rows"
+                )
+            self.train(live.select("doc_id", "embedding"), n_vecs=n_live)
         if "_lsn" in vecs.columns:
             lsn_map = vecs.select(
                 "doc_id",
@@ -822,12 +843,7 @@ class PqIndex:
         ).withColumnRenamed("vec_id", "doc_id")
 
         def _stamped(df, deleted=False):
-            return df.join(lsn_map, ["doc_id"]).select(
-                *[c for c in df.columns],
-                F.col("_row_lsn").alias("_lsn"),
-                F.lit(deleted).alias("_deleted"),
-                F.lit(None).cast("map<string,string>").alias("_extra"),
-            )
+            return stamp_rows(df, lsn_map, deleted=deleted)
 
         batch = _stamped(enc.select("doc_id", "sub", "code"))
         if has_del:
@@ -856,19 +872,43 @@ class PqIndex:
         """Full re-encode after a corpus TRUNCATE: same pipeline fed the
         post-truncate corpus, committed with a truncate watermark that
         kills every older code row in O(1). The codebooks stay frozen —
-        codes remain comparable across the truncate."""
-        t = (lsn - 1) if truncate_lsn is None else truncate_lsn
+        codes remain comparable across the truncate.
+
+        With no explicit ``truncate_lsn`` the watermark defaults to one
+        below the batch's SMALLEST row LSN (one small agg job) — NOT
+        ``lsn - 1``: rebuild rows carrying per-row ``_lsn`` values below
+        the batch high-watermark would otherwise be killed by the very
+        watermark that publishes them."""
+        if truncate_lsn is None:
+            if "_lsn" in vecs.columns:
+                lo = vecs.agg(
+                    F.min(
+                        F.coalesce(F.col("_lsn").cast("long"),
+                                   F.lit(lsn).cast("long"))
+                    )
+                ).head()[0]
+                t = (int(lo) if lo is not None else lsn) - 1
+            else:
+                t = lsn - 1
+        else:
+            t = truncate_lsn
         self.update(vecs, lsn, batch_id, new_truncate_lsn=t)
 
     # -- search ------------------------------------------------------------
 
-    def search(self, queries, k: int = PQ_TOP_K):
+    def search(self, queries, k: int = PQ_TOP_K,
+               exclude_self: bool = False):
         """ADC top-k per query over the LIVE codes (no raw-vector access):
-        ``queries`` is (query_id, v)."""
+        ``queries`` is (query_id, v). Query ids are EXTERNAL labels here —
+        by default nothing is excluded from the candidates (a doc_id that
+        happens to equal a query_id is still a valid neighbor); pass
+        ``exclude_self=True`` only when the queries ARE corpus members
+        sharing the doc_id space."""
         return pq_adc_topk(
             None, queries, 0, k=k, m=self.m, ksub=self.ksub, dim=self.dim,
             index=(self.codes().withColumnRenamed("doc_id", "vec_id"),
                    self.books()),
+            exclude_self=exclude_self,
         )
 
 

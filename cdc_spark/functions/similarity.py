@@ -488,38 +488,52 @@ def _duck_cos_expr(xv: str, yv: str, r: int) -> str:
     return f"round({dot} / ({nx} * {ny}), {r})"
 
 
-def sql_ivf_topk(dim: int) -> str:
-    """DuckDB mirror of the trained-IVF search, Lloyd steps unrolled."""
-    def assign_cte(name: str, cents: str) -> str:
-        sim = _duck_cos_expr("e.v", "c.cv", 6)
-        return f"""{name} AS (
+def sql_ivf_assign_cte(name: str, cents: str, dim: int) -> str:
+    """One IVF assign step as a CTE (shared by the ivf and ivfpq
+    oracles — the two must never drift textually)."""
+    sim = _duck_cos_expr("e.v", "c.cv", 6)
+    return f"""{name} AS (
   SELECT vec_id, cent_id AS cell FROM (
     SELECT e.vec_id, c.cent_id,
            row_number() OVER (PARTITION BY e.vec_id
                               ORDER BY {sim} DESC, c.cent_id ASC) rn
     FROM e, {cents} c) WHERE rn = 1)"""
 
-    def update_cte(name: str, assign: str) -> str:
-        sums = ", ".join(
-            f"sum(CAST(floor(v[{d + 1}] * {_CSCALE}) AS BIGINT)) AS s{d}"
-            for d in range(dim)
-        )
-        means = ", ".join(
-            f"CAST((s{d} - (((s{d} % n) + n) % n)) // n AS DOUBLE)"
-            for d in range(dim)
-        )
-        return f"""{name} AS (
+
+def sql_ivf_update_cte(name: str, assign: str, dim: int) -> str:
+    """One IVF Lloyd update step as a CTE (shared, see above)."""
+    sums = ", ".join(
+        f"sum(CAST(floor(v[{d + 1}] * {_CSCALE}) AS BIGINT)) AS s{d}"
+        for d in range(dim)
+    )
+    means = ", ".join(
+        f"CAST((s{d} - (((s{d} % n) + n) % n)) // n AS DOUBLE)"
+        for d in range(dim)
+    )
+    return f"""{name} AS (
   SELECT cent_id, [{means}] AS cv FROM (
     SELECT cell AS cent_id, count(*) AS n, {sums}
     FROM e JOIN {assign} USING (vec_id) GROUP BY cell) t)"""
 
+
+def sql_ivf_lloyd_ctes(dim: int, iters: int = IVF_LLOYD_ITERS):
+    """(ctes_sql, final_cents_name): the unrolled Lloyd chain from seeds
+    ``c0`` — shared by sql_ivf_topk and the ivfpq oracle."""
     lloyd = []
     cents = "c0"
-    for i in range(IVF_LLOYD_ITERS):
-        lloyd.append(assign_cte(f"a{i + 1}", cents))
-        lloyd.append(update_cte(f"c{i + 1}", f"a{i + 1}"))
+    for i in range(iters):
+        lloyd.append(sql_ivf_assign_cte(f"a{i + 1}", cents, dim))
+        lloyd.append(sql_ivf_update_cte(f"c{i + 1}", f"a{i + 1}", dim))
         cents = f"c{i + 1}"
-    lloyd_sql = ",\n".join(lloyd)
+    return ",\n".join(lloyd), cents
+
+
+def sql_ivf_topk(dim: int) -> str:
+    """DuckDB mirror of the trained-IVF search, Lloyd steps unrolled."""
+    def assign_cte(name: str, cents: str) -> str:
+        return sql_ivf_assign_cte(name, cents, dim)
+
+    lloyd_sql, cents = sql_ivf_lloyd_ctes(dim)
     sim_q = _duck_cos_expr("e.v", "c.cv", 6)
     cos_pair = _duck_cos_expr("q.v", "c.cv2", 4)
     return f"""

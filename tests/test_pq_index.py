@@ -46,7 +46,6 @@ def test_index_tracks_live_corpus(spark, tmp_path):
     b0 = _vecs(spark, range(0, 40), lsn=100)
     idx.update(b0, lsn=100, batch_id=0)
     assert idx.trained()
-    live = {i: b0 for i in range(40)}
 
     # update batch: changes 5 docs (new lsn), deletes 3, adds 10
     b1 = _vecs(spark, list(range(35, 55)), lsn=200, deleted={36, 38, 40},
@@ -105,11 +104,19 @@ def test_search_runs_on_codes_only(spark, tmp_path):
     )
     got = idx.search(q, k=5).toPandas()
     assert set(got["query_id"]) == {0, 1, 2}
-    for _, g in got.groupby("query_id"):
-        assert list(g.sort_values("rank")["rank"]) == [1, 2, 3, 4, 5]
+    for qid, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == [1, 2, 3, 4, 5]
         assert g["adc_x1e6"].min() >= 0
-    # a query must not return itself
-    assert not ((got["query_id"] == got["cand_id"]).any())
+        # query ids are EXTERNAL labels by default: the colliding doc is a
+        # valid candidate — here the query IS corpus doc qid, and its own
+        # codes are the per-subspace argmins for its own subvectors, so
+        # self ranks first (at its quantization error, not 0 — ADC is
+        # asymmetric)
+        assert g.iloc[0]["cand_id"] == qid
+    # corpus-member mode: exclude_self drops the collision
+    ex = idx.search(q, k=5, exclude_self=True).toPandas()
+    assert not ((ex["query_id"] == ex["cand_id"]).any())
 
 
 def test_train_is_idempotent_and_explicit_train_wins(spark, tmp_path):
@@ -129,3 +136,66 @@ def test_train_is_idempotent_and_explicit_train_wins(spark, tmp_path):
         (r["sub"], r["code"], tuple(r["cv"])) for r in idx.books().collect()
     )
     assert books == again
+
+
+def test_first_batch_without_live_rows_raises(spark, tmp_path):
+    idx = PqIndex(spark, str(tmp_path / "pq"), m=M, ksub=KSUB, dim=DIM)
+    dead_only = _vecs(spark, [1, 2, 3], lsn=10, deleted={1, 2, 3})
+    with pytest.raises(ValueError, match="no live vectors"):
+        idx.update(dead_only, lsn=10, batch_id=0)
+    assert not idx.trained()  # nothing frozen; a later real batch can train
+    idx.update(_vecs(spark, range(0, 20), lsn=20), lsn=20, batch_id=1)
+    assert idx.trained()
+
+
+def test_folded_delete_and_reinsert_in_one_batch(spark, tmp_path):
+    """A batch carrying delete(doc, lsn=L) + re-insert(doc, lsn>L) must
+    collapse to the re-insert — not stamp both versions and leave the
+    read-side LWW to tie-break a code against a tombstone."""
+    idx = PqIndex(spark, str(tmp_path / "pq"), m=M, ksub=KSUB, dim=DIM)
+    idx.update(_vecs(spark, range(0, 30), lsn=100), lsn=100, batch_id=0)
+    folded = _vecs(spark, [5], lsn=110, nudge=0.02).unionByName(
+        _vecs(spark, [5], lsn=105, deleted={5})
+    )
+    idx.update(folded, lsn=110, batch_id=1)
+    reinserted = _vecs(spark, [5], lsn=110, nudge=0.02).select(
+        "doc_id", "embedding"
+    )
+    got = {
+        (r["doc_id"], r["sub"]): r["code"]
+        for r in idx.codes().filter(F.col("doc_id") == 5).collect()
+    }
+    assert got == _expected(idx, reinserted)
+    # and the reverse fold (insert then delete at a higher lsn) deletes
+    folded2 = _vecs(spark, [6], lsn=115, nudge=0.05).unionByName(
+        _vecs(spark, [6], lsn=120, deleted={6})
+    )
+    idx.update(folded2, lsn=120, batch_id=2)
+    assert idx.codes().filter(F.col("doc_id") == 6).count() == 0
+
+
+def test_rebuild_watermark_respects_per_row_lsns(spark, tmp_path):
+    """Rebuild rows carrying per-row _lsn BELOW the batch hwm must
+    survive the default truncate watermark."""
+    idx = PqIndex(spark, str(tmp_path / "pq"), m=M, ksub=KSUB, dim=DIM)
+    idx.update(_vecs(spark, range(0, 20), lsn=10), lsn=10, batch_id=0)
+    # post-truncate corpus re-delivered with row lsns 60..79, hwm 100
+    post = _vecs(spark, range(60, 80)).withColumn(
+        "_lsn", F.col("doc_id")
+    ).filter(~F.col("_deleted"))
+    idx.rebuild(post, lsn=100, batch_id=1)
+    assert idx.codes().count() == 20 * M  # nothing self-killed
+    assert set(
+        r["doc_id"] for r in idx.codes().select("doc_id").distinct().collect()
+    ) == set(range(60, 80))
+
+
+def test_reopen_with_conflicting_params_raises(spark, tmp_path):
+    root = str(tmp_path / "pq")
+    idx = PqIndex(spark, root, m=M, ksub=KSUB, dim=DIM)
+    idx.update(_vecs(spark, range(0, 20), lsn=1), lsn=1, batch_id=0)
+    with pytest.raises(ValueError, match="conflicts with requested"):
+        PqIndex(spark, root, dim=DIM * 2)
+    # omitted params adopt the stored meta
+    ok = PqIndex(spark, root)
+    assert (ok.m, ok.ksub, ok.dim) == (M, KSUB, DIM)
