@@ -33,7 +33,7 @@ spark = (SparkSession.builder.master("local[{cpus}]")
          .config("spark.driver.memory", "8g")
          .config("spark.ui.enabled", "false").getOrCreate())
 spark.sparkContext.setLogLevel("ERROR")
-from cdc_spark.functions.pq import pq_codes, pq_adc_topk
+from cdc_spark.functions.pq import pq_codes, pq_adc_topk, ivfpq_topk
 
 n, dim, n_clusters = {n}, {dim}, 256
 rng = spark.range(n)
@@ -67,7 +67,14 @@ t0 = time.time()
 topk = pq_adc_topk(e, q, n, index=stored)
 n_out = topk.count()
 search_s = time.time() - t0
-print("RESULT", round(enc_s, 2), round(search_s, 2), n_out)
+
+# ivfpq end-to-end (coarse train via sampled two-level + residual encode
+# + probed search) — ONE number for the composed operator's full cost
+t0 = time.time()
+n_ivfpq = ivfpq_topk(e, q, n).count()
+ivfpq_s = time.time() - t0
+print("RESULT", round(enc_s, 2), round(search_s, 2), n_out,
+      round(ivfpq_s, 2), n_ivfpq)
 """
     out = subprocess.run(
         [sys.executable, "-c", code],
@@ -77,13 +84,15 @@ print("RESULT", round(enc_s, 2), round(search_s, 2), n_out)
     line = [l for l in out.stdout.splitlines() if l.startswith("RESULT")]
     if not line:
         raise RuntimeError(out.stderr[-2000:])
-    enc_s, search_s, n_out = line[0].split()[1:]
+    enc_s, search_s, n_out, ivfpq_s, n_iv = line[0].split()[1:]
     return {
         "cpus": cpus,
         "encode_sec": float(enc_s),
         "encode_vecs_per_sec": round(n / float(enc_s)),
         "adc_search_sec": float(search_s),
         "topk_rows": int(n_out),
+        "ivfpq_e2e_sec": float(ivfpq_s),
+        "ivfpq_rows": int(n_iv),
     }
 
 
