@@ -87,3 +87,22 @@ def test_vocab_topk_counts_and_tie_cut(spark):
     # the tf-1 group resolves purely by the total order
     top3 = [r["tok"] for r in vocab_topk(docs, k=3).collect()]
     assert top3 == ["apple", "banana", "cherry"]
+
+
+def test_vocab_topk_plans_take_ordered_not_a_rank_window(spark):
+    """The COVERAGE.md claim, asserted: the global top-k cut compiles to
+    TakeOrderedAndProject (per-partition heap + k-row driver merge), not
+    a rank window or a single-partition sort."""
+    import contextlib
+    import io
+
+    from cdc_spark.functions.corpus import vocab_topk
+
+    docs = _docs(spark, [(1, "s", "a b c a"), (2, "s", "b c d")])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        vocab_topk(docs, k=3).explain("formatted")
+    plan = buf.getvalue()
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" not in plan
