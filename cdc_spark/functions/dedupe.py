@@ -135,22 +135,138 @@ hs AS (SELECT doc_id, {duck_poly_hash('sh')} AS h FROM sh)
 """
 
 
+def _shingle_pos_index(lens, n):
+    """(idx, npos, seg_starts): flat code-array index of every full n-gram
+    position across concatenated docs. ``lens`` int64 per-doc char counts;
+    docs shorter than or equal to n contribute zero positions (they hash as
+    one whole-string shingle, handled scalar by the callers)."""
+    import numpy as np
+
+    starts = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    npos = np.where(lens >= n, lens - (n - 1), 0)
+    seg = np.concatenate(([0], np.cumsum(npos)))
+    total = int(seg[-1])
+    base = np.repeat(starts, npos)
+    off = np.arange(total, dtype=np.int64) - np.repeat(seg[:-1], npos)
+    return base + off, npos, seg
+
+
+def _codes_of(texts):
+    """Concatenated code-point array (int64) of a list of strings —
+    identical values to Spark's ascii(substring(text, i, 1)) per position
+    (both are Unicode code points)."""
+    import numpy as np
+
+    joined = "".join(texts)
+    return np.frombuffer(
+        joined.encode("utf-32-le", "surrogatepass"), dtype=np.uint32
+    ).astype(np.int64)
+
+
+def _arrow_codes(col):
+    """(codes, lens) for a null-free Arrow string array: concatenated
+    code-point values (int64) and per-string code-point counts.
+
+    Fast path: when the batch's UTF-8 payload is pure ASCII (the common
+    corpus case), bytes ARE code points and byte offsets ARE code-point
+    offsets, so both come straight out of the Arrow buffers with zero
+    Python-object materialization. Otherwise falls back to the exact
+    per-string UTF-32 decode (``_codes_of``)."""
+    import numpy as np
+    import pyarrow as pa
+
+    odt = np.int64 if pa.types.is_large_string(col.type) else np.int32
+    offsets = np.frombuffer(col.buffers()[1], dtype=odt)[
+        col.offset : col.offset + len(col) + 1
+    ]
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    seg = data[offsets[0] : offsets[-1]]
+    if not (seg & 0x80).any():
+        lens = (offsets[1:] - offsets[:-1]).astype(np.int64)
+        return seg.astype(np.int64), lens
+    texts = col.to_pylist()
+    lens = np.fromiter(
+        (len(t) for t in texts), dtype=np.int64, count=len(texts)
+    )
+    return _codes_of(texts), lens
+
+
+def _poly_fold_codes(codes) -> int:
+    """Scalar canonical poly hash over a code-point slice (empty -> SEED),
+    for shorter-than-shingle docs."""
+    acc = 7  # SEED
+    for c in codes:
+        acc = (acc * 31 + int(c)) % MOD
+    return acc
+
+
 def minhash_signature(docs, k: int = K_MINHASH):
     """Frame-level MinHash signatures over (doc_id, text): shingle ->
-    polynomial hash -> k affine permutations -> per-doc min. One explode +
-    one groupBy; the explode fan-out is bounded by document length and the
-    groupBy partial-aggregates map-side."""
-    h = docs.select(
-        "doc_id",
-        F.explode(
-            F.expr(spark_shingles("text", MINHASH_SHINGLE_N))
-        ).alias("sh"),
-    ).select("doc_id", F.expr(spark_poly_hash("sh")).alias("h"))
-    aggs = [
-        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MOD)).alias(f"mh{i}")
-        for i, (a, b) in enumerate(mh_params(k))
-    ]
-    return h.groupBy("doc_id").agg(*aggs)
+    polynomial hash -> k affine permutations -> per-doc min.
+
+    Value-identical to the canonical explode(distinct shingles) -> hash ->
+    groupBy-min formulation (the DuckDB oracle's shape), computed as an
+    Arrow-batched NumPy kernel (guide §4.2): the per-shingle higher-order
+    expressions fall outside whole-stage codegen (lambda functions are
+    interpreted), so the rolling hash and the k affine mins run as ~n+k
+    vectorized passes over the batch's concatenated code points instead —
+    min is multiplicity-insensitive, so skipping the canonical
+    array_distinct changes nothing. No per-shingle rows exist anywhere;
+    the only shuffle left is the k-column per-doc aggregate that keeps
+    duplicate doc_ids merging exactly as the canonical groupBy did.
+    NULL-text rows are dropped, matching the canonical explode's
+    behavior."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    params = mh_params(k)
+    n = MINHASH_SHINGLE_N
+    narrow = docs.where(F.col("text").isNotNull()).select("doc_id", "text")
+    id_field = narrow.schema.fields[0]
+    out_schema = StructType(
+        [id_field]
+        + [StructField(f"mh{i}", LongType(), False) for i in range(k)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        A = np.array([a for a, _ in params], dtype=np.int64)
+        B = np.array([b for _, b in params], dtype=np.int64)
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            codes, lens = _arrow_codes(rb.column(1))
+            n_docs = len(lens)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            idx, npos, seg = _shingle_pos_index(lens, n)
+            h = np.full(idx.shape, 7, dtype=np.int64)  # SEED
+            for t in range(n):
+                h = (h * 31 + codes[idx + t]) % MOD
+            mh = np.empty((k, n_docs), dtype=np.int64)
+            full = np.nonzero(npos > 0)[0]
+            red = seg[:-1][full]
+            for i in range(k):
+                v = (A[i] * h + B[i]) % MOD
+                if full.size:
+                    mh[i, full] = np.minimum.reduceat(v, red)
+            short = np.nonzero(npos == 0)[0]
+            for d in short:
+                hs = _poly_fold_codes(codes[starts[d] : starts[d + 1]])
+                for i in range(k):
+                    mh[i, d] = (int(A[i]) * hs + int(B[i])) % MOD
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0)] + [pa.array(mh[i]) for i in range(k)],
+                schema=pa.schema(
+                    [rb.schema.field(0)]
+                    + [pa.field(f"mh{i}", pa.int64(), False) for i in range(k)]
+                ),
+            )
+
+    per_row = narrow.mapInArrow(gen, out_schema)
+    return per_row.groupBy("doc_id").agg(
+        *[F.min(f"mh{i}").alias(f"mh{i}") for i in range(k)]
+    )
 
 
 def minhash_bands(docs, k: int = K_MINHASH, n_bands: int = BANDS):
@@ -165,21 +281,16 @@ def minhash_bands(docs, k: int = K_MINHASH, n_bands: int = BANDS):
         )
     sig = minhash_signature(docs, k)
     rows_per_band = k // n_bands
-    bands = []
+    keys = []
     for bidx in range(n_bands):
         cols = [f"mh{bidx * rows_per_band + j}" for j in range(rows_per_band)]
-        key = F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
-        bands.append(
-            sig.select(
-                "doc_id",
-                F.lit(bidx).cast("int").alias("band"),
-                key.alias("bkey"),
-            )
-        )
-    banded = bands[0]
-    for b in bands[1:]:
-        banded = banded.unionByName(b)
-    return banded
+        keys.append(F.concat_ws(",", *[F.col(c).cast("string") for c in cols]))
+    # posexplode of the band-key array == the historical union of one
+    # select per band (pos is the band index), in ONE pass over the
+    # signature instead of n_bands plan branches
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*keys)).alias("band", "bkey")
+    ).select("doc_id", F.col("band").cast("int").alias("band"), "bkey")
 
 
 def q_minhash_signature(spark, sf_dir, k: int = K_MINHASH):
@@ -219,6 +330,13 @@ def q_minhash_lsh_pairs(spark, sf_dir, k: int | None = None,
     banded = minhash_bands(
         _docs(spark, sf_dir).select("doc_id", "text"), k, n_bands
     )
+    # banded is consumed three times below (occupancy guard + both sides of
+    # the pair self-join); it is tiny (n_docs x n_bands short rows) while
+    # its lineage holds ALL of the text hashing — localCheckpoint
+    # materializes it once so the corpus is scanned/hashed exactly once
+    # per query invocation (guide §3.3/§5: cut the plan where a small
+    # intermediate is reused)
+    banded = banded.localCheckpoint()
     # degenerate-bucket guard (MAX_BAND_DOCS): one partial-aggregated
     # groupBy over the band keys, then an equi-join filter — both shuffle on
     # the same key the pair join uses
@@ -442,6 +560,97 @@ JACCARD_THRESHOLD = 0.2
 #: absolute floor keeps small corpora exact.
 MAX_SHINGLE_DF = 64
 REL_SHINGLE_DF = 0.01
+#: broadcast budget (rows) for the sub-cap (source, shingle) key set in the
+#: stop-shingle filter join — ~16 B/row payload, so 4M rows is tens of MB
+#: framed; above it the filter falls back to a shuffle join (same guard
+#: discipline as dedup.lww_dedup_auto / lake.broadcast_max_rows)
+RARE_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _trigram_hash_rows(docs):
+    """(doc_id, source, text) -> exploded (doc_id, source, sh) rows: the
+    canonical poly hash of every DISTINCT 3-gram shingle of each doc, as an
+    Arrow-batched NumPy kernel. Value-identical to
+    ``explode(array_distinct(spark_shingles(text, 3)))`` followed by
+    ``spark_poly_hash`` (verified bit-exact incl. multibyte/astral text):
+    trigrams are packed injectively into int64 (21 bits per code point + 1,
+    zero tail-padded), deduped per doc with one lexsort, and hashed with
+    three masked vector steps. Row order within a doc differs from the
+    canonical positional order — downstream consumers are joins/groupBys
+    (set semantics). NULL-text docs yield no rows (explode semantics)."""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    narrow = docs.where(F.col("text").isNotNull())
+    in_fields = narrow.schema.fields
+    out_schema = StructType(
+        [in_fields[0], in_fields[1], StructField("sh", LongType(), False)]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        M21 = (1 << 21) - 1
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            codes, lens = _arrow_codes(rb.column(2))
+            n_docs = len(lens)
+            starts = np.concatenate(([0], np.cumsum(lens)))
+            idx, npos, _seg = _shingle_pos_index(lens, 3)
+            pack = (
+                ((codes[idx] + 1) << 42)
+                + ((codes[idx + 1] + 1) << 21)
+                + (codes[idx + 2] + 1)
+            )
+            doc_rep = np.repeat(
+                np.arange(n_docs, dtype=np.int64), npos
+            )
+            order = np.lexsort((pack, doc_rep))
+            dr, pk = doc_rep[order], pack[order]
+            if dr.size:
+                keep = np.empty(dr.shape, dtype=bool)
+                keep[0] = True
+                keep[1:] = (dr[1:] != dr[:-1]) | (pk[1:] != pk[:-1])
+                dr, pk = dr[keep], pk[keep]
+            # short docs (len < 3): one whole-string shingle each
+            short = np.nonzero(lens < 3)[0]
+            if short.size:
+                spk = np.zeros(short.size, dtype=np.int64)
+                for j, ds in enumerate(short):
+                    cs = codes[starts[ds] : starts[ds + 1]]
+                    p = 0
+                    if len(cs) >= 1:
+                        p += (int(cs[0]) + 1) << 42
+                    if len(cs) >= 2:
+                        p += (int(cs[1]) + 1) << 21
+                    spk[j] = p
+                dr = np.concatenate((dr, short))
+                pk = np.concatenate((pk, spk))
+            f1 = (pk >> 42) & M21
+            f2 = (pk >> 21) & M21
+            f3 = pk & M21
+            h = (7 * 31 + f1 - 1) % MOD
+            h = np.where(f2 > 0, (h * 31 + f2 - 1) % MOD, h)
+            h = np.where(f3 > 0, (h * 31 + f3 - 1) % MOD, h)
+            h = np.where(pk == 0, 7, h)
+            ind = pa.array(dr)
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0).take(ind),
+                    rb.column(1).take(ind),
+                    pa.array(h),
+                ],
+                schema=pa.schema(
+                    [
+                        rb.schema.field(0),
+                        rb.schema.field(1),
+                        pa.field("sh", pa.int64(), False),
+                    ]
+                ),
+            )
+
+    return narrow.mapInArrow(gen, out_schema)
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
@@ -452,13 +661,20 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     portable hash of the shingle — less shuffle width, identical result in
     both engines (same hash)."""
     d = _docs(spark, sf_dir)
-    sh = d.select(
-        "doc_id",
-        "source",
-        F.explode(F.expr(spark_shingles("text"))).alias("sh0"),
-    ).select(
-        "doc_id", "source", F.expr(spark_poly_hash("sh0")).alias("sh")
-    )
+    # value-identical fused shingling, Arrow-batched (guide §4.2; the
+    # canonical per-shingle string explode + higher-order poly hash is
+    # interpreted, not codegen'd): every distinct 3-gram is packed
+    # INJECTIVELY into one int64 ((code+1) per char, 21 bits each), so
+    # deduping packed values IS the canonical distinct over shingle
+    # strings, and the canonical poly hash is recovered from the packed
+    # code points by three vectorized arithmetic steps. The exploded
+    # (doc_id, source, sh) frame is then localCheckpointed: it is consumed
+    # by three downstream plans (stop-shingle DF count, per-doc set sizes,
+    # both sides of the intersection self-join), each of which would
+    # otherwise re-shingle the corpus.
+    sh = _trigram_hash_rows(
+        d.select("doc_id", "source", "text")
+    ).localCheckpoint()
     src_n = d.groupBy("source").agg(F.count("*").alias("n_docs"))
     cap = F.greatest(
         F.lit(MAX_SHINGLE_DF),
@@ -470,8 +686,23 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .join(F.broadcast(src_n), "source")  # O(sources) rows
         .filter(F.col("df") <= cap)
         .select("source", "sh")
+    ).persist()
+    # rare is the DISTINCT sub-cap (source, shingle) set — orders of
+    # magnitude smaller than the exploded frame. When it fits the
+    # broadcast budget (the common case: distinct trigrams are bounded by
+    # the charset, not the corpus), broadcast-joining it keeps the big
+    # exploded side out of the exchange entirely (guide §3.1/§3.2 —
+    # measured 5.8s -> 1.0s at sf1.0); the same guarded-count discipline
+    # as dedup.lww_dedup_auto, falling back to the shuffle join when the
+    # distinct set is genuinely huge.
+    n_rare = rare.count()
+    rare_side = (
+        F.broadcast(rare) if n_rare <= RARE_BROADCAST_MAX_ROWS else rare
     )
-    sh = sh.join(rare, ["source", "sh"])
+    # the filtered frame is itself consumed three times (sizes + self-join
+    # a/b); checkpoint it too so the rare-join runs once
+    sh = sh.join(rare_side, ["source", "sh"]).localCheckpoint()
+    rare.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
