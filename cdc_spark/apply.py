@@ -136,7 +136,20 @@ class CdcApply:
             F.col("table").isNotNull()
             & ~F.col("op").isin("begin", "commit", "generic")
         )
-        df = df.persist()
+        # Batch persistence is OFF by default (cfg.persist_batches): the
+        # envelope is consumed by 3 jobs (ctrl agg, winner agg, payload
+        # recovery), but the first two prune to a handful of narrow
+        # columns, so three pruned re-reads of the source are measurably
+        # cheaper than materializing the whole wide batch into the cache
+        # (guide §5: caching is only worth it when recompute costs more
+        # than the memory pressure; measured at 20M rows/batch the cache
+        # build alone exceeded the entire unpersisted pipeline). Every
+        # supported source recomputes deterministically: file segments and
+        # parquet re-read, the rate source is offset-derived, and the
+        # pg-logical reader replays planned ranges via readBetweenOffsets
+        # (WAL retained until the slot flush in commit()).
+        if self.cfg.persist_batches:
+            df = df.persist()
         try:
             # control plane: ONE aggregation job, O(tables) result
             ctrl = (
@@ -156,9 +169,14 @@ class CdcApply:
                     ).alias("changes"),
                     # HLL distinct-key estimate rides the SAME aggregation —
                     # it feeds the narrow-dedup broadcast guard at zero
-                    # extra jobs (rsd 5%; the guard adds 10% headroom)
+                    # extra jobs (rsd 5%; the guard adds 10% headroom).
+                    # The sketch hashes an 8-byte xxhash64 of the key
+                    # columns, not a concatenated string: same cardinality
+                    # estimate (it feeds a thresholded guess, and xxhash64
+                    # collisions are far below the 5% rsd), no per-row
+                    # string materialization (measured ~7s/20M-row batch)
                     F.approx_count_distinct(
-                        F.concat_ws(chr(31), *self.cfg.key), 0.05
+                        F.xxhash64(*self.cfg.key), 0.05
                     ).alias("n_keys_est"),
                 )
                 .collect()
@@ -184,7 +202,8 @@ class CdcApply:
             self._maybe_maintain(batch_id, [r["table"] for r in ctrl])
             return results
         finally:
-            df.unpersist()
+            if self.cfg.persist_batches:
+                df.unpersist()
 
     def _apply_table(self, df: DataFrame, batch_id: int, ctrl, t0: float) -> dict:
         table = ctrl["table"]
@@ -311,7 +330,12 @@ class CdcApply:
                 key=key,
                 order_col="_lsn",
                 salt=self.cfg.salt,
-                broadcast_max_rows=self.cfg.dedup_broadcast_max_rows,
+                # the effective narrow budget is the smaller of "fits the
+                # broadcast" and "still profitable" (see config docstrings)
+                broadcast_max_rows=min(
+                    self.cfg.dedup_broadcast_max_rows,
+                    self.cfg.dedup_narrow_max_winners,
+                ),
                 estimated_winners=int(ctrl["n_keys_est"]),
             )
         else:

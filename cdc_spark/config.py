@@ -78,6 +78,25 @@ class EngineConfig:
     #: falls back to the wide max_by reduce (same guard as the merge's
     #: ``broadcast_max_rows``)
     dedup_broadcast_max_rows: int = 5_000_000
+    #: winner-set size past which the narrow dedup stops paying even when
+    #: it still FITS the broadcast budget: its costs (building+shipping the
+    #: winner broadcast, a second source pass, the winner-row dropDuplicates
+    #: shuffle) all scale with the winner count, while its saving (wide
+    #: payload bytes kept out of the exchange) scales with the COLLAPSED
+    #: row count x payload width. Measured at 20M events / 2.8M winners /
+    #: ~0.1 KB payloads the wide one-shuffle max_by reduce beat narrow by
+    #: ~30%; at KB-scale payloads with few winners narrow wins (the round-3
+    #: measurement). Raise this for wide-payload workloads.
+    dedup_narrow_max_winners: int = 1_000_000
+    #: persist each microbatch's envelope frame for the duration of its
+    #: apply. OFF by default: the batch is consumed by three jobs, but two
+    #: of them prune to narrow columns, so pruned re-reads of the source
+    #: beat materializing the wide batch into cache (measured; see
+    #: apply_batch). All shipped sources recompute deterministically
+    #: (files re-read, rate is offset-derived, pg-logical replays via
+    #: readBetweenOffsets). Turn ON for a custom source whose recompute
+    #: is expensive or side-effecting.
+    persist_batches: bool = False
     #: key-prefix block width for the batch-side multi-interval range
     #: stats: the lineage job groups by (bucket, first key column's
     #: string-cast prefix of this length) so a batch spanning hot AND cold
