@@ -475,6 +475,128 @@ _SH_W = 21      # accumulator field width (3 x 21 = 63 bits, sign-safe)
 SIMHASH_MAX_CHARS = (1 << 22) - 2
 
 
+#: Java regex ``\s`` character class (Spark's split runs Java regex WITHOUT
+#: UNICODE_CHARACTER_CLASS): exactly these six code points, nothing else —
+#: the NumPy tokenizer below splits on precisely this set so its tokens are
+#: identical to ``split(lower(trim(text)), '\\s+')``'s non-empty pieces
+_JAVA_WS = (9, 10, 11, 12, 13, 32)
+
+
+def _simhash_kernel(spark, sf_dir):
+    """SimHash signatures as an Arrow-batched NumPy kernel — value-
+    identical to :func:`q_simhash` (verified bit-exact at every SF and on
+    the adversarial edge corpus) and ~2x faster at FULL compute, used by
+    the pair generator which always needs the real signature values.
+
+    ``lower(trim(text))`` stays a JVM expression (exact Spark semantics);
+    the kernel splits on exactly Java's ``\\s`` six code points, hashes
+    every token with the canonical per-step fold (vectorized over tokens,
+    stepped over character positions), and reduces the 63 bit votes per
+    doc into the same 21 carry-safe packed accumulators. The per-doc
+    partials then flow through the SAME groupBy-sum + bit-recovery
+    expressions as the canonical plan, so duplicate doc_ids keep merging
+    votes identically. (:func:`q_simhash` itself keeps the canonical
+    column-expression plan: an opaque kernel defeats the optimizer's
+    column pruning, which consumers that don't read the signature —
+    count-style aggregations — benefit from.)"""
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    d = _docs(spark, sf_dir).filter(
+        F.length("text") <= SIMHASH_MAX_CHARS
+    )
+    narrow = d.where(F.col("text").isNotNull()).select(
+        "doc_id", F.lower(F.trim(F.col("text"))).alias("_lt")
+    )
+    id_field = narrow.schema.fields[0]
+    out_schema = StructType(
+        [id_field, StructField("n", LongType(), False)]
+        + [
+            StructField(f"a{k}", LongType(), False)
+            for k in range(_SH_FIELD)
+        ]
+    )
+
+    def gen(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            codes, lens = _arrow_codes(rb.column(1))
+            n_docs = len(lens)
+            doc_off = np.concatenate(([0], np.cumsum(lens)))
+            ws = np.isin(codes, _JAVA_WS)
+            nonws = ~ws
+            prev = np.concatenate(([False], nonws[:-1]))
+            prev[doc_off[:-1][lens > 0]] = False  # token runs never span docs
+            tstart = np.nonzero(nonws & ~prev)[0]
+            nxt = np.concatenate((nonws[1:], [False]))
+            ends_mask = nonws & ~nxt
+            # also cut runs at doc ends
+            last_pos = doc_off[1:][lens > 0] - 1
+            ends_fix = np.zeros(len(codes) + 1, dtype=bool)
+            ends_fix[:-1] = ends_mask
+            ends_fix[last_pos] |= nonws[last_pos]
+            tend = np.nonzero(ends_fix[:-1])[0]
+            # np.searchsorted maps each token to its doc
+            tdoc = np.searchsorted(doc_off[1:], tstart, side="right")
+            tlen = tend - tstart + 1
+            n_tok = len(tstart)
+            s = np.zeros((_SH_FIELD, n_docs), dtype=np.int64)
+            ndoc = np.zeros(n_docs, dtype=np.int64)
+            if n_tok:
+                h1 = np.full(n_tok, 7, dtype=np.int64)  # SEED
+                mx = int(tlen.max())
+                for t in range(mx):
+                    act = tlen > t
+                    if not act.any():
+                        break
+                    h1[act] = (
+                        h1[act] * 31 + codes[tstart[act] + t]
+                    ) % MOD
+                h2 = (h1 * h1 + 11) % MOD
+                h3 = (h2 * h1 + 17) % MOD
+                np.add.at(ndoc, tdoc, 1)
+                for k in range(_SH_FIELD):
+                    a = (
+                        ((h1 >> k) & 1)
+                        + (((h2 >> k) & 1) << _SH_W)
+                        + (((h3 >> k) & 1) << (2 * _SH_W))
+                    )
+                    np.add.at(s[k], tdoc, a)
+            keep = ndoc > 0  # no-token docs are absent (explode semantics)
+            ind = pa.array(np.nonzero(keep)[0])
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(0).take(ind), pa.array(ndoc[keep])]
+                + [pa.array(s[k][keep]) for k in range(_SH_FIELD)],
+                schema=pa.schema(
+                    [rb.schema.field(0), pa.field("n", pa.int64(), False)]
+                    + [
+                        pa.field(f"a{k}", pa.int64(), False)
+                        for k in range(_SH_FIELD)
+                    ]
+                ),
+            )
+
+    packed = narrow.mapInArrow(gen, out_schema)
+    agg = packed.groupBy("doc_id").agg(
+        F.sum("n").alias("n"),
+        *[F.sum(f"a{k}").alias(f"s{k}") for k in range(_SH_FIELD)],
+    )
+    bits = []
+    for b in range(SIMHASH_BITS):
+        k, g = b % _SH_FIELD, b // _SH_FIELD
+        bits.append(
+            f"(CASE WHEN 2 * ((s{k} >> {g * _SH_W}) & {(1 << _SH_W) - 1}) > n "
+            f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        )
+    sim = " + ".join(bits)
+    return agg.select(
+        "doc_id", F.expr(f"CAST({sim} AS BIGINT)").alias("simhash")
+    ).orderBy("doc_id")
+
+
 def q_simhash(spark, sf_dir):
     """SimHash (63-bit): token-hash bit votes summed per doc, sign -> bit.
 
@@ -484,7 +606,14 @@ def q_simhash(spark, sf_dir):
     sums + a count — wide enough for 63
     independent votes, narrow enough to stay inside whole-stage codegen
     (63 separate sum() aggregates measured ~6x slower). Per-bit vote sign
-    is recovered per doc as ``2*count_b > n_tokens``."""
+    is recovered per doc as ``2*count_b > n_tokens``.
+
+    This canonical column-expression plan is kept deliberately: consumers
+    that never read the signature (count-style aggregations) let the
+    optimizer prune the hash work entirely, which the Arrow kernel
+    (:func:`_simhash_kernel`, used by the pair generator that always
+    needs the values) cannot offer — an opaque kernel computes
+    everything."""
     d = _docs(spark, sf_dir).filter(
         F.length("text") <= SIMHASH_MAX_CHARS
     )
@@ -782,8 +911,12 @@ def _simhash_band_ranges() -> list[tuple[int, int]]:
 def q_simhash_neardup_pairs(spark, sf_dir):
     """SimHash near-dup pairs: 16-bit-band blocked candidate join + exact
     Hamming confirm (bit_count(xor)). Shuffle is by band value — scales
-    with band collisions, never all-pairs."""
-    sig = q_simhash(spark, sf_dir)
+    with band collisions, never all-pairs. Signatures come from the
+    Arrow kernel (full-compute path; value-identical to q_simhash) and
+    are localCheckpointed: the banded frame feeds the occupancy guard
+    plus both sides of the pair join, so the corpus is tokenized/hashed
+    exactly once per invocation."""
+    sig = _simhash_kernel(spark, sf_dir).localCheckpoint()
     parts = []
     for band, (shift, width) in enumerate(_simhash_band_ranges()):
         bval = F.shiftright("simhash", shift).bitwiseAND(

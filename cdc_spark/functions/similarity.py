@@ -68,26 +68,76 @@ def _cos(a, b):
 
 def q_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-k per query vector (queries = vec_id <
-    N_QUERIES, broadcast against all candidates). Ranking is the two-phase
-    salted reduce (``_topk_two_phase``) — scoring stays map-side (broadcast
-    crossJoin), and no shuffle partition ever holds one query's whole
-    candidate set."""
+    N_QUERIES, against all candidates). Ranking is the two-phase salted
+    reduce (``_topk_two_phase``) — no shuffle partition ever holds one
+    query's whole candidate set.
+
+    Scoring is an Arrow-batched NumPy kernel (guide §4.2: the
+    zip_with/aggregate dot products are interpreted lambda expressions,
+    and the canonical per-pair form recomputed both norms 8x per
+    candidate). The kernel accumulates the fold in the SAME left-to-right
+    order as the canonical ``aggregate(zip_with(...), 0.0, +)`` — product
+    then add per dimension, no FMA — so the raw doubles are bit-identical
+    and Spark's own round(4) yields the exact oracle values. The query
+    side is an N_QUERIES-row control-plane read (the broadcast crossJoin
+    collected the same rows to the driver before)."""
+    import numpy as np
+
     e = _emb(spark, sf_dir).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
-    q = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    q_rows = sorted(
+        e.filter(F.col("vec_id") < N_QUERIES).collect(),
+        key=lambda r: r["vec_id"],
     )
-    cand = e.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(cand)
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select(
-            "query_id",
-            "cand_id",
-            F.round(_cos(F.col("qv"), F.col("cv")), 4).alias("cosine"),
-        )
+    q_ids = np.array([r["vec_id"] for r in q_rows], dtype=np.int64)
+    Q = np.array([r["v"] for r in q_rows], dtype=np.float64)
+
+    def _seq_norm(M):
+        # sqrt of the sequential fold of squares: ((0 + x0*x0) + x1*x1)...
+        acc = np.zeros(M.shape[0], dtype=np.float64)
+        for d in range(M.shape[1]):
+            acc = acc + M[:, d] * M[:, d]
+        return np.sqrt(acc)
+
+    qn = _seq_norm(Q)
+
+    def gen(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            lists = rb.column(1)
+            flat = lists.flatten().to_numpy(zero_copy_only=False)
+            C = flat.reshape(n, -1)
+            dim = C.shape[1]
+            cn = _seq_norm(C)
+            for qi in range(len(q_ids)):
+                acc = np.zeros(n, dtype=np.float64)
+                qv = Q[qi]
+                for d in range(dim):
+                    acc = acc + qv[d] * C[:, d]
+                cos = acc / (qn[qi] * cn)
+                mask = ids != q_ids[qi]
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(
+                            np.full(int(mask.sum()), q_ids[qi], np.int64)
+                        ),
+                        pa.array(ids[mask]),
+                        pa.array(cos[mask]),
+                    ],
+                    names=["query_id", "cand_id", "_raw"],
+                )
+
+    scored_raw = e.select(
+        F.col("vec_id").alias("cand_id"), "v"
+    ).mapInArrow(gen, "query_id long, cand_id long, _raw double")
+    scored = scored_raw.select(
+        "query_id", "cand_id", F.round(F.col("_raw"), 4).alias("cosine")
     )
     return (
         _topk_two_phase(

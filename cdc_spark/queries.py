@@ -82,17 +82,42 @@ def change_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lww_dedup(spark, sf_dir):
-    """A2: last-writer-wins per (repo, path) via max-LSN reduce."""
+    """A2: last-writer-wins per (repo, path) via max-LSN reduce.
+
+    Plan note (result-identical to reducing the full change view): every
+    output column is a deterministic function of the winner's RAW event
+    row, and (repo, path) is a bijection of (user_id % 40, event_id % 7) —
+    so the reduce groups on the two small ints and the string derivations
+    (concat, op mapping) run on the ~|keys| winner rows only, not on every
+    event (guide §2.3: shuffle keys and metadata, derive payloads after
+    the reduce)."""
     from .dedup import lww_dedup
 
-    chg = change_view(spark, sf_dir).select("repo", "path", "lsn", "op", "content")
-    out = lww_dedup(chg, key=("repo", "path"), order_col="lsn")
+    e = _events(spark, sf_dir)
+    raw = e.select(
+        F.col("event_id").alias("lsn"),
+        "user_id",
+        "event_type",
+        F.pmod("user_id", F.lit(40)).alias("_r"),
+        F.pmod("event_id", F.lit(7)).alias("_p"),
+    )
+    out = lww_dedup(raw, key=("_r", "_p"), order_col="lsn")
     return out.select(
-        "repo",
-        "path",
+        F.concat(F.lit("repo-"), F.col("_r").cast("string")).alias("repo"),
+        F.concat(F.lit("f"), F.col("_p").cast("string")).alias("path"),
         F.col("lsn").alias("last_lsn"),
-        F.col("op").alias("last_op"),
-        F.col("content").alias("last_content"),
+        F.when(F.col("event_type") == "error", F.lit("delete"))
+        .when(F.col("event_type") == "signup", F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("last_op"),
+        F.concat(
+            F.lit("u"),
+            F.col("user_id").cast("string"),
+            F.lit(":"),
+            F.col("event_type"),
+            F.lit("@"),
+            F.col("lsn").cast("string"),
+        ).alias("last_content"),
     )
 
 
