@@ -814,7 +814,7 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
         .agg(F.count("*").alias("df"))
         .join(F.broadcast(src_n), "source")  # O(sources) rows
         .filter(F.col("df") <= cap)
-        .select("source", "sh")
+        .select("source", "sh", "df")
     ).persist()
     # rare is the DISTINCT sub-cap (source, shingle) set — orders of
     # magnitude smaller than the exploded frame. When it fits the
@@ -826,26 +826,70 @@ def q_ngram_jaccard_pairs(spark, sf_dir):
     # distinct set is genuinely huge.
     n_rare = rare.count()
     rare_side = (
-        F.broadcast(rare) if n_rare <= RARE_BROADCAST_MAX_ROWS else rare
+        F.broadcast(rare.select("source", "sh"))
+        if n_rare <= RARE_BROADCAST_MAX_ROWS
+        else rare.select("source", "sh")
     )
-    # the filtered frame is itself consumed three times (sizes + self-join
-    # a/b); checkpoint it too so the rare-join runs once
+    # exact candidate-pair volume = sum over sub-cap shingles of
+    # C(df, 2) — known BEFORE the pair join from the already-computed DF
+    # aggregate. It sizes the pair-count exchange adaptively (guide §2:
+    # derive partitioning from data size, never a constant)
+    pair_volume = int(
+        rare.select(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long")
+        ).first()[0]
+        or 0
+    )
+    # the filtered frame is consumed twice (sizes + pair join); checkpoint
+    # it too so the rare-join runs once
     sh = sh.join(rare_side, ["source", "sh"]).localCheckpoint()
     rare.unpersist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, ["source", "sh"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
+    shz = sh.join(sizes, "doc_id")
+    a = shz.select(
+        "source", "sh",
+        F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"),
+    ).alias("a")
+    b = shz.select(
+        "source", "sh",
+        F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"),
+    ).alias("b")
+    # length bound (the classic set-similarity-join filter), provably
+    # below-threshold pairs dropped AT the join: jaccard <= min/(S - min)
+    # where S = sza + szb, and round(j, 4) >= T needs j >= T - 0.00005,
+    # so any pair with S > min * (1 + 1/(T - 0.00005)) (+ float margin)
+    # cannot appear in the output no matter its intersection. Costs one
+    # comparison per candidate row; on size-skewed corpora it prunes the
+    # small-vs-huge candidate mass before the exchange.
+    s_bound = 1.0 + 1.0 / (JACCARD_THRESHOLD - 0.00005) + 0.0003
+    len_ok = (F.col("sza") + F.col("szb")) <= F.least(
+        "sza", "szb"
+    ) * F.lit(s_bound)
+    raw_pairs = a.join(b, ["source", "sh"]).filter(
+        (F.col("doc_a") < F.col("doc_b")) & len_ok
+    ).select("doc_a", "doc_b")
+    # Intersection counting: the candidate multiset has ~as many DISTINCT
+    # pairs as rows (shared-shingle multiplicity is low for sub-cap
+    # shingles), so the default partial+final hash aggregate degenerates:
+    # partials reduce nothing while building |rows|-sized maps, and the
+    # 32-partition final agg holds millions of entries per task (measured
+    # 31s of a 40s query at 50k realistic docs — 177M candidate rows /
+    # 122M distinct pairs). Repartitioning by the pair key FIRST, with a
+    # width derived from the exact candidate volume (never a constant —
+    # guide §2), bounds every aggregation map to ~1.5M entries.
+    n_parts = max(
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+        min(20000, pair_volume // 1_500_000 + 1),
+    )
+    counted = (
+        raw_pairs.repartition(n_parts, "doc_a", "doc_b")
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sza"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("szb"))
     jac = (
-        inter.join(sa, "doc_a")
+        counted.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
