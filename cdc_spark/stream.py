@@ -69,7 +69,18 @@ def start_stream(
     def _fb(batch_df, batch_id: int) -> None:
         if decode is not None:
             batch_df = decode(batch_df)
-        applier.apply_batch(batch_df, batch_id)
+        # The STREAMING path persists each microbatch for the duration of
+        # its apply even though batch replay does not (see
+        # EngineConfig.persist_batches): the engine derives
+        # numInputRows from the source scans the batch plan executes, so
+        # unpersisted recompute would multiple-count delivered rows in
+        # StreamingQueryProgress — a monitoring invariant (reference
+        # stats semantics) worth one cache materialization per trigger.
+        batch_df = batch_df.persist()
+        try:
+            applier.apply_batch(batch_df, batch_id)
+        finally:
+            batch_df.unpersist()
         n_seen["batches"] += 1
         if fail_after_batches is not None and n_seen["batches"] >= fail_after_batches:
             raise RuntimeError("injected failure for kill-and-resume test")
