@@ -398,6 +398,16 @@ class LakeTable:
     #: broadcastable chunks (each chunk = its own broadcast join; the plan
     #: unions the chunks, so the count is bounded to keep plan size sane)
     chunk_max_groups = 32
+    #: the 'join' strategy's costs scale with |batch keys| (two key-set
+    #: broadcasts: the batch's (key, lsn) set and the stale set) while its
+    #: benefit — touched lake rows crossing NO exchange — scales with the
+    #: touched lake size. When the batch is comparable to the touched lake
+    #: (bulk loads, full-churn replays) the single-shuffle 'agg' reduce is
+    #: faster (measured ~1.5 s/20M-event batch at batch == lake == 2.7M
+    #: keys); 'join' stays the pick whenever touched lake rows exceed
+    #: batch rows by this factor — the trickle-CDC regime the strategy
+    #: exists for, and the only regime that matters at 100 TB.
+    join_min_lake_ratio = 4
     #: parquet row-group size (bytes) for lake data files; None = Spark's
     #: default (128 MB). Smaller groups give the per-row-group key_ranges
     #: stats finer pruning granularity — tests set a tiny value so multi-
@@ -1016,6 +1026,22 @@ class LakeTable:
         if strategy is None:
             if batch_rows is None or batch_rows <= self.broadcast_max_rows:
                 strategy = "join"
+                # batch ~ touched-lake-sized: the two key-set broadcasts
+                # cost more than one shuffle of the union — take agg
+                # (see join_min_lake_ratio; manifest row counts, no job)
+                if batch_rows is not None and affected:
+                    aset = set(affected)
+                    touched_rows = sum(
+                        f.get("rows") or 0
+                        for f in cur["files"]
+                        if f["bucket"] in aset
+                    )
+                    if (
+                        touched_rows
+                        and touched_rows
+                        < batch_rows * self.join_min_lake_ratio
+                    ):
+                        strategy = "agg"
             else:
                 strategy = _plan_over_budget()
         elif strategy in ("chunked", "mixed"):

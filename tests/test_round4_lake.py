@@ -93,6 +93,10 @@ def _run(spark, root, broadcast_rows):
     for i in range(3):
         b = log.filter(F.pmod(F.xxhash64("lsn", F.lit(7)), F.lit(3)) == i)
         applier.lake_for("repos").broadcast_max_rows = broadcast_rows
+        # pin the budget-only pick: this test exercises the chunked-vs-join
+        # machinery, not the round-6 batch/lake-ratio heuristic (which would
+        # route these lake-sized batches to agg — covered by its own test)
+        applier.lake_for("repos").join_min_lake_ratio = 0
         infos.extend(applier.apply_batch(b, i))
     return applier.lake_for("repos"), log, infos
 
@@ -432,6 +436,7 @@ def test_mixed_strategy_aggs_only_hot_buckets(spark, tmpdir_factory_clean):
         lake.merge(_mk_batch(spark, keys[::2], 100), batch_id=0,
                    lsn_hwm=200, batch_rows=len(keys[::2]))
         lake.broadcast_max_rows = strategy_budget
+        lake.join_min_lake_ratio = 0  # pin the budget-only pick (see _run)
         info = lake.merge(
             _mk_batch(spark, keys, 300), batch_id=1, lsn_hwm=400,
             batch_rows=len(keys), bucket_batch_rows=counts,
