@@ -338,6 +338,12 @@ def lm_surprisal(docs, text_col: str = "text"):
             )
         ).alias("g"),
     ).select("doc_id", "g.cur", "g.prev")
+    # the token stream feeds THREE consumers (unigram model, bigram model,
+    # the scoring join base) and its lineage holds the interpreted
+    # transform/struct explode — checkpoint it so the corpus is tokenized
+    # once per call (same multi-consumer rule as corpus.py; measured
+    # 10.6 s -> ~4 s at sf0.1)
+    toks = toks.localCheckpoint()
     uni = toks.groupBy("cur").agg(F.count("*").alias("u_cur"))
     # T = corpus token total (== sum(u_cur)); one cheap scan-level agg,
     # folded back into the scoring expression as a literal

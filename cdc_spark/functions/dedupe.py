@@ -1057,7 +1057,9 @@ def decontaminate_pairs(eval_docs, corpus_docs):
         .select(F.col("doc_id").alias("eval_doc"), "h")
         .distinct()
     )
-    corp = _sh(corpus_docs)
+    # the corpus shingle stream feeds two consumers (per-doc set sizes +
+    # the intersection join); checkpoint so the corpus is shingled once
+    corp = _sh(corpus_docs).localCheckpoint()
     sizes = corp.groupBy("doc_id").agg(F.count("*").alias("sz"))
     inter = (
         corp.join(F.broadcast(ev), "h")

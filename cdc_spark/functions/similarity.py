@@ -234,17 +234,170 @@ IVF_LLOYD_ITERS = 2
 _CSCALE = 10_000
 
 
-def _ivf_assign(e, cents, sim_round: int = 6):
-    """Nearest centroid per vector: broadcast crossJoin (map-side, centroids
-    are tiny) + one partial-aggregated max_by — no per-vector window, no
-    shuffle of the vectors themselves beyond the groupBy."""
-    scored = F.broadcast(cents).crossJoin(e).select(
-        "vec_id", "cent_id",
-        F.round(_cos(F.col("v"), F.col("cv")), sim_round).alias("sim"),
+def _nearest_kernel(rows_df, cents_by_group, in_cols, out_cell_col,
+                    group_col=None, sim_round: int = 6):
+    """Shared Arrow/NumPy kernel for the nearest-centroid assignments —
+    value-identical to the canonical broadcast-(cross)join +
+    ``round(_cos, 6)`` + ``max_by(id, struct(sim, -id))`` (guide §4.2: the
+    per-candidate cosine is three interpreted lambda folds, recomputed for
+    every (vector, centroid) pair).
+
+    Exactness: dot and norm folds accumulate left-to-right exactly like
+    ``aggregate(zip_with(...), 0.0, +)`` (product then add, no FMA); the
+    vector's own norm is computed once per row and each centroid's once
+    per task — the same expressions the canonical form evaluates, so the
+    doubles match bit for bit. The rounded-max winner must lie within
+    1e-6 of the raw max (round(.,6) moves a value <= 5e-7 and is
+    monotone), so only candidates inside that window are decided by exact
+    shortest-decimal HALF_UP rounding (ties -> smaller id, matching the
+    ``-id`` struct component); non-finite cosines (zero vectors) fall
+    back to a scalar replication of Spark's ordering (NaN greatest). The
+    winner's rounded sim is emitted so the pass-through max_by aggregate
+    keeps merging duplicate vec_ids exactly as before.
+
+    ``cents_by_group``: {group -> (ids int64[], CV float64[k, dim], NB
+    float64[k])}; ``group_col=None`` means one global group keyed None."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    fields = [rows_df.schema[c] for c in in_cols[:-1]]
+    out_schema = StructType(
+        fields
+        + [
+            StructField(out_cell_col, LongType(), True),
+            StructField("_sim", DoubleType(), True),
+        ]
     )
-    return scored.groupBy("vec_id").agg(
+
+    def gen(batches):
+        import math
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import pyarrow as pa
+
+        quant = Decimal(1).scaleb(-sim_round)
+
+        def dec_round(x: float) -> float:
+            if not math.isfinite(x):
+                return x
+            return float(
+                Decimal(repr(x)).quantize(quant, rounding=ROUND_HALF_UP)
+            )
+
+        for rb in batches:
+            n = rb.num_rows
+            if n == 0:
+                continue
+            v = rb.column(len(in_cols) - 1)
+            flat = v.flatten().to_numpy(zero_copy_only=False)
+            dim = flat.size // n
+            V = flat.reshape(n, dim)
+            na = np.zeros(n, dtype=np.float64)
+            for d in range(dim):
+                na = na + V[:, d] * V[:, d]
+            na = np.sqrt(na)
+            if group_col is None:
+                groups = {None: np.arange(n)}
+            else:
+                gi = in_cols.index(group_col)
+                gvals = rb.column(gi).to_numpy(zero_copy_only=False)
+                groups = {
+                    int(g): np.nonzero(gvals == g)[0]
+                    for g in np.unique(gvals)
+                }
+            cell_out = np.zeros(n, dtype=np.int64)
+            sim_out = np.zeros(n, dtype=np.float64)
+            for g, rows in groups.items():
+                ids, CV, NB = cents_by_group[g]
+                S = V[rows]
+                C = np.zeros((rows.size, ids.size), dtype=np.float64)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    for j in range(ids.size):
+                        acc = np.zeros(rows.size, dtype=np.float64)
+                        cvj = CV[j]
+                        for d in range(dim):
+                            acc = acc + S[:, d] * cvj[d]
+                        C[:, j] = acc / (na[rows] * NB[j])
+                finite = np.isfinite(C).all(axis=1)
+                if finite.all():
+                    cmax = C.max(axis=1)
+                    cand = C >= (cmax - 2e-6)[:, None]
+                    easy = cand.sum(axis=1) == 1
+                    ei = np.argmax(cand, axis=1)
+                    cell_out[rows[easy]] = ids[ei[easy]]
+                    for ri in np.nonzero(easy)[0]:
+                        sim_out[rows[ri]] = dec_round(float(C[ri, ei[ri]]))
+                    for ri in np.nonzero(~easy)[0]:
+                        cs = np.nonzero(cand[ri])[0]
+                        # max by (rounded sim, -id): sort desc sim, asc id
+                        best = max(
+                            (
+                                Decimal(repr(float(C[ri, j]))).quantize(
+                                    quant, rounding=ROUND_HALF_UP
+                                ),
+                                -int(ids[j]),
+                            )
+                            for j in cs
+                        )
+                        cell_out[rows[ri]] = -best[1]
+                        sim_out[rows[ri]] = float(best[0])
+                else:
+                    for ri in range(rows.size):
+                        # scalar fallback mirroring Spark struct ordering
+                        # (NaN greatest, then -id)
+                        best = max(
+                            range(ids.size),
+                            key=lambda j: (
+                                (2, -int(ids[j]))
+                                if math.isnan(C[ri, j])
+                                else (1, dec_round(float(C[ri, j])),
+                                      -int(ids[j]))
+                            ),
+                        )
+                        cell_out[rows[ri]] = ids[best]
+                        sim_out[rows[ri]] = dec_round(float(C[ri, best]))
+            yield pa.RecordBatch.from_arrays(
+                [rb.column(i) for i in range(len(in_cols) - 1)]
+                + [pa.array(cell_out), pa.array(sim_out)],
+                names=in_cols[:-1] + [out_cell_col, "_sim"],
+            )
+
+    return rows_df.select(*in_cols).mapInArrow(gen, out_schema)
+
+
+def _cent_arrays(rows):
+    """{group -> (ids, CV, NB)} from collected centroid rows; norms use the
+    same left-fold-of-squares the canonical _cos evaluates."""
+    import numpy as np
+
+    out = {}
+    for g, entries in rows.items():
+        entries = sorted(entries)
+        ids = np.array([i for i, _ in entries], dtype=np.int64)
+        CV = np.array([cv for _, cv in entries], dtype=np.float64)
+        nb = np.zeros(len(entries), dtype=np.float64)
+        for d in range(CV.shape[1] if len(entries) else 0):
+            nb = nb + CV[:, d] * CV[:, d]
+        out[g] = (ids, CV, np.sqrt(nb))
+    return out
+
+
+def _ivf_assign(e, cents, sim_round: int = 6):
+    """Nearest centroid per vector — canonical semantics (broadcast
+    crossJoin + round(_cos, 6) + partial-aggregated max_by with ties to
+    the smaller cent_id), computed by the shared ``_nearest_kernel``; the
+    centroid table is an O(nlist) control-plane read (the same rows the
+    broadcast shipped)."""
+    rows: dict = {None: []}
+    for r in cents.collect():
+        rows[None].append((int(r["cent_id"]), list(r["cv"])))
+    per_row = _nearest_kernel(
+        e.select("vec_id", "v"), _cent_arrays(rows),
+        ["vec_id", "v"], "cell", sim_round=sim_round,
+    )
+    return per_row.groupBy("vec_id").agg(
         F.max_by(
-            F.col("cent_id"), F.struct(F.col("sim"), (-F.col("cent_id")))
+            F.col("cell"), F.struct(F.col("_sim"), (-F.col("cell")))
         ).alias("cell")
     )
 
@@ -348,16 +501,22 @@ def _seed_cents(t, n: int, id_col: str):
 
 
 def _sub_assign(tc, subs):
-    """Nearest sub-centroid WITHIN each vector's coarse cell: equi-join on
-    the coarse id (broadcast — the whole sub table is <= nlist rows), so a
-    vector scores only its cell's ~sqrt(nlist) sub-centroids."""
-    scored = tc.join(F.broadcast(subs), "coarse").select(
-        "vec_id", "coarse", "sub_id",
-        F.round(_cos(F.col("v"), F.col("cv")), 6).alias("sim"),
+    """Nearest sub-centroid WITHIN each vector's coarse cell — canonical
+    semantics (equi-join on coarse + round(_cos, 6) + max_by with ties to
+    the smaller sub_id), via the shared ``_nearest_kernel`` grouped by the
+    coarse id; the sub table is an O(nlist) control-plane read."""
+    rows: dict = {}
+    for r in subs.collect():
+        rows.setdefault(int(r["coarse"]), []).append(
+            (int(r["sub_id"]), list(r["cv"]))
+        )
+    per_row = _nearest_kernel(
+        tc.select("vec_id", "coarse", "v"), _cent_arrays(rows),
+        ["vec_id", "coarse", "v"], "sub_id", group_col="coarse",
     )
-    return scored.groupBy("vec_id", "coarse").agg(
+    return per_row.groupBy("vec_id", "coarse").agg(
         F.max_by(
-            F.col("sub_id"), F.struct(F.col("sim"), (-F.col("sub_id")))
+            F.col("sub_id"), F.struct(F.col("_sim"), (-F.col("sub_id")))
         ).alias("sub_id")
     )
 
